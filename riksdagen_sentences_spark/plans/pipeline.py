@@ -1,0 +1,308 @@
+"""The KG-construction pipeline: documents -> sentence graph.
+
+Spark-first re-expression of the reference's row-at-a-time loop
+(/root/reference/models/analyzer.py -> datasets.py -> dataset.py ->
+document.py -> sentence.py -> token.py -> entities.py): one declarative
+DataFrame lineage per output table, so Catalyst owns pushdown, pruning,
+join strategy and AQE owns runtime re-planning.
+
+Stage map (reference file:line in each function's docstring):
+
+    docs ─ sentenize_udf ─ posexplode ─► sentence_base
+        ├─► sentences  (accept gates + salted dedup + uuid5)
+        ├─► token_base (JVM tokenizer + POS + accept filter)
+        │      ├─► rawtokens / normtokens (salted dedup)
+        │      └─► occursIn / normalizesTo / linksTo edges
+        ├─► entities + mentions edges (gazetteer pandas UDF)
+        └─► triples = union of all edges
+
+Only three operators run Python (Arrow-batched pandas UDFs): the
+sentenizer, the language scorer and the gazetteer NER - everything else
+is whole-stage-codegen column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import semantics as S
+from ..functions import columns as C
+from ..functions import udfs as U
+from ..ids import uuid5_col
+from ..operators.dedup import salted_dedup
+from ..sources import dims
+
+
+def docs_from_files(files: DataFrame) -> DataFrame:
+    """Normalize the north-rule ``files`` table to (document_id, content).
+
+    document_id = uuid5('document', repo, path, commit) - deterministic,
+    content-addressed (replaces auto-increment document.id,
+    reference models/crud/create.py:72-80).
+    """
+    return files.select(
+        uuid5_col(F.lit("document"), "repo", "path", "commit").alias(
+            "document_id"
+        ),
+        F.col("content"),
+    )
+
+
+def docs_from_documents(documents: DataFrame) -> DataFrame:
+    """Normalize the driver testdata ``documents`` table."""
+    return documents.select(
+        F.col("doc_id").cast("string").alias("document_id"),
+        F.col("text").alias("content"),
+    )
+
+
+def sentence_base(docs: DataFrame, use_udf_langid: bool = True) -> DataFrame:
+    """documents -> one row per detected sentence with cleaning + langid.
+
+    Reference lifecycle models/document.py:172-200 + models/sentence.py:
+    111-131: sentences with empty cleaned text or exactly one clean word
+    never reach token analysis or insertion, so they are dropped here.
+
+    Columns: document_id, sent_idx, text, cleaned, word_count, lang, score
+    """
+    sent = docs.select(
+        "document_id",
+        F.posexplode(U.sentenize_udf(F.col("content"))).alias(
+            "sent_idx", "text"
+        ),
+    )
+    base = (
+        sent.withColumn("cleaned", C.clean_sentence_col(F.col("text")))
+        .withColumn("word_count", C.clean_word_count_col(F.col("cleaned")))
+        .filter(F.col("word_count") >= 2)
+    )
+    if use_udf_langid:
+        base = base.withColumn("__ls", U.langid_udf(F.col("cleaned")))
+        base = base.withColumn("lang", F.col("__ls.lang")).withColumn(
+            "score", F.col("__ls.score")
+        ).drop("__ls")
+    else:
+        lang, score = C.langid_cols(F.col("cleaned"))
+        base = base.withColumn("lang", lang).withColumn("score", score)
+    return base
+
+
+def sentences(base: DataFrame) -> DataFrame:
+    """Accepted, canonicalized sentences.
+
+    Accept gate per reference models/sentence.py:130-140 (>5 clean words,
+    accepted language, score >= 0.4); identity per UNIQUE(text, document,
+    language) (models/crud/create.py:85-96) with deterministic uuid5
+    replacing uuid4 (models/sentence.py:189-191).  Salted two-phase dedup
+    defuses hot-document skew (north rule).
+    """
+    accepted = base.filter(
+        C.sentence_accept_col(
+            F.col("word_count"), F.col("lang"), F.col("score")
+        )
+    )
+    deduped = salted_dedup(
+        accepted,
+        keys=["text", "document_id", "lang"],
+        order_col="sent_idx",
+    )
+    return deduped.select(
+        uuid5_col(F.lit("sentence"), "text", "document_id", "lang").alias(
+            "sentence_id"
+        ),
+        "document_id",
+        "text",
+        "cleaned",
+        "lang",
+        "score",
+        "word_count",
+        "sent_idx",
+    )
+
+
+def token_base(base: DataFrame) -> DataFrame:
+    """One row per token of every >=2-clean-word sentence, with POS +
+    accept flag (reference models/sentence.py:172-181 iterate_tokens +
+    models/token.py:80-98).  Pure JVM: regex tokenizer + CASE-chain POS.
+
+    Columns: document_id, sent_idx, text (sentence), lang, score,
+    word_count, tok_idx, raw, cleaned_tok, norm, pos, tok_accepted,
+    sent_accepted
+    """
+    toks = base.select(
+        "document_id",
+        "sent_idx",
+        "text",
+        "lang",
+        "score",
+        "word_count",
+        F.posexplode(F.split(F.col("text"), S.WS_SPLIT_RE)).alias(
+            "tok_idx", "raw"
+        ),
+    ).filter(F.col("raw") != "")
+    return (
+        toks.withColumn("cleaned_tok", C.clean_token_col(F.col("raw")))
+        .withColumn("norm", C.normalize_token_col(F.col("raw")))
+        .withColumn("pos", C.pos_tag_col(F.col("raw")))
+        .withColumn(
+            "tok_accepted",
+            C.is_accepted_token_col(
+                F.col("raw"), F.col("pos"), F.col("lang")
+            ),
+        )
+        .withColumn(
+            "sent_accepted",
+            C.sentence_accept_col(
+                F.col("word_count"), F.col("lang"), F.col("score")
+            ),
+        )
+    )
+
+
+def rawtokens(token_base_df: DataFrame) -> DataFrame:
+    """Canonical rawtokens: UNIQUE(text, lexical_category, language)
+    (reference models/crud/create.py:120-130).  Tokens are Zipf-skewed
+    ("och", "att", ...) -> salted dedup."""
+    acc = token_base_df.filter(F.col("tok_accepted")).select(
+        F.col("raw").alias("text"), "pos", "lang", "score"
+    )
+    deduped = salted_dedup(acc, keys=["text", "pos", "lang"])
+    return deduped.select(
+        uuid5_col(F.lit("rawtoken"), "text", "pos", "lang").alias(
+            "rawtoken_id"
+        ),
+        "text",
+        F.col("pos").alias("postag"),
+        "lang",
+        "score",
+    )
+
+
+def normtokens(token_base_df: DataFrame) -> DataFrame:
+    """Canonical normtokens: UNIQUE(text) (reference create.py:131-134)."""
+    return (
+        token_base_df.filter(F.col("tok_accepted"))
+        .select(F.col("norm").alias("text"))
+        .dropDuplicates(["text"])
+        .select(
+            uuid5_col(F.lit("normtoken"), "text").alias("normtoken_id"),
+            "text",
+        )
+    )
+
+
+def entities(sentences_df: DataFrame) -> DataFrame:
+    """Canonical entities: UNIQUE(label, ner_label) via gazetteer UDF
+    (reference models/entity.py:36-48, models/entities.py:21-27)."""
+    mentions = sentences_df.select(
+        F.explode(U.ner_udf(F.col("cleaned"))).alias("e")
+    ).select("e.label", "e.ner_label")
+    return mentions.dropDuplicates(["label", "ner_label"]).select(
+        uuid5_col(F.lit("entity"), "label", "ner_label").alias("entity_id"),
+        "label",
+        "ner_label",
+    )
+
+
+def mention_edges(sentences_df: DataFrame) -> DataFrame:
+    """(sentence, mentions, entity) triples (reference
+    models/entities.py:29-44, create.py:106-113; set-dedup per sentence
+    models/entity.py:14-18)."""
+    m = sentences_df.select(
+        "sentence_id", F.explode(U.ner_udf(F.col("cleaned"))).alias("e")
+    ).select("sentence_id", "e.label", "e.ner_label")
+    return m.dropDuplicates(["sentence_id", "label", "ner_label"]).select(
+        F.col("sentence_id").alias("subj"),
+        F.lit(S.PRED_MENTIONS).alias("pred"),
+        uuid5_col(F.lit("entity"), "label", "ner_label").alias("obj"),
+    )
+
+
+def occurs_in_edges(token_base_df: DataFrame) -> DataFrame:
+    """(rawtoken, occursIn, sentence) for accepted tokens of accepted
+    sentences (reference insert.py:151-160 link_sentence_to_rawtokens)."""
+    acc = token_base_df.filter(
+        F.col("tok_accepted") & F.col("sent_accepted")
+    )
+    edges = acc.select(
+        uuid5_col(F.lit("rawtoken"), "raw", "pos", "lang").alias("subj"),
+        F.lit(S.PRED_OCCURS_IN).alias("pred"),
+        uuid5_col(F.lit("sentence"), "text", "document_id", "lang").alias(
+            "obj"
+        ),
+    )
+    return edges.dropDuplicates(["subj", "obj"])
+
+
+def normalizes_to_edges(token_base_df: DataFrame) -> DataFrame:
+    """(rawtoken, normalizesTo, normtoken) for accepted tokens
+    (reference insert.py:173-181 link_normtoken_to_rawtoken)."""
+    acc = token_base_df.filter(F.col("tok_accepted"))
+    edges = acc.select(
+        uuid5_col(F.lit("rawtoken"), "raw", "pos", "lang").alias("subj"),
+        F.lit(S.PRED_NORMALIZES_TO).alias("pred"),
+        uuid5_col(F.lit("normtoken"), "norm").alias("obj"),
+    )
+    return edges.dropDuplicates(["subj", "obj"])
+
+
+def links_to_edges(
+    token_base_df: DataFrame, spark: SparkSession
+) -> DataFrame:
+    """(rawtoken, linksTo, lexeme) - the Wikidata-lexeme link the
+    reference schema defines but never writes (create.py:149-155,
+    insert.py:183-196 raises NotImplementedError).  Broadcast equi-join
+    against the tiny lexeme dictionary - idiomatic Spark beats a UDF
+    here because the match condition is pure equality."""
+    lex = F.broadcast(dims.lexeme_dictionary(spark))
+    acc = token_base_df.filter(F.col("tok_accepted"))
+    joined = acc.join(
+        lex,
+        (acc["norm"] == lex["form"]) & (acc["lang"] == lex["lang"]),
+        "inner",
+    )
+    edges = joined.select(
+        uuid5_col(F.lit("rawtoken"), acc["raw"], acc["pos"], acc["lang"]).alias(
+            "subj"
+        ),
+        F.lit(S.PRED_LINKS_TO).alias("pred"),
+        lex["lexeme_id"].alias("obj"),
+    )
+    return edges.dropDuplicates(["subj", "obj"])
+
+
+def part_of_edges(sentences_df: DataFrame) -> DataFrame:
+    """(sentence, partOf, document) (reference create.py:89,93)."""
+    return sentences_df.select(
+        F.col("sentence_id").alias("subj"),
+        F.lit(S.PRED_PART_OF).alias("pred"),
+        F.col("document_id").alias("obj"),
+    )
+
+
+def has_text_edges(sentences_df: DataFrame) -> DataFrame:
+    """(sentence, hasText, normalized_text) (north star; reference
+    create.py:87 keeps text inline)."""
+    return sentences_df.select(
+        F.col("sentence_id").alias("subj"),
+        F.lit(S.PRED_HAS_TEXT).alias("pred"),
+        F.col("cleaned").alias("obj"),
+    )
+
+
+def triples(
+    spark: SparkSession, docs: DataFrame, use_udf_langid: bool = True
+) -> DataFrame:
+    """The full graph as one (subj, pred, obj) DataFrame."""
+    base = sentence_base(docs, use_udf_langid=use_udf_langid)
+    sents = sentences(base)
+    toks = token_base(base)
+    return (
+        part_of_edges(sents)
+        .unionByName(has_text_edges(sents))
+        .unionByName(occurs_in_edges(toks))
+        .unionByName(normalizes_to_edges(toks))
+        .unionByName(mention_edges(sents))
+        .unionByName(links_to_edges(toks, spark))
+    )

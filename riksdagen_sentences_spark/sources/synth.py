@@ -1,0 +1,134 @@
+"""Deterministic synthetic ``files`` table (north-rule input shape).
+
+BASELINE.json input_hint: ``(repo:string, path:string, commit:string,
+lang:string, content:string)``.  Seed-fixed (default 42), no external
+data.  One HOT repo holds ~30% of all rows (FIXTURES.md §1) to exercise
+the salted-dedup skew path, and the generated content includes every edge
+case the cleaning rules must handle (TOC leader lines, digit-words,
+punctuation, short/one-word sentences, duplicate sentences within and
+across documents, >100k-char chunking documents, HTML fragments).
+
+Generation is distributed: ``spark.range(n)`` + column expressions and a
+deterministic pandas UDF keyed on the row id - no driver-side loops, so
+the same generator scales to any row count.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+_SV_WORDS = (
+    "och att det som en av den med om inte har till ett han var jag vi "
+    "riksdagen regeringen beslut lag förslag utskott betänkande motion "
+    "anförande ledamot tal land folk arbete skola vård skatt miljö"
+).split()
+_EN_WORDS = (
+    "the and of to in that it is was for on with he as be at by "
+    "parliament government decision law proposal committee report motion"
+).split()
+
+HOT_REPO = "repo_hot"
+FILES_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def _make_content(rng: random.Random, lang: str, edge: int) -> str:
+    words = _SV_WORDS if lang in ("sv", "nb", "da") else _EN_WORDS
+    n_sent = rng.randint(2, 8)
+    sentences = []
+    for _ in range(n_sent):
+        n = rng.randint(3, 14)
+        s = " ".join(rng.choice(words) for _ in range(n))
+        sentences.append(s.capitalize() + rng.choice(".!?") + " ")
+    text = "".join(sentences).strip()
+    # deterministic edge-case injection by bucket
+    if edge == 0:
+        text = "Innehåll ......... 4\n" + text + "\nKapitel 2 .... 17"
+    elif edge == 1:
+        text += " Ja. Nej! Ett (två) tre-fyra 5:e 2024 pris4u."
+    elif edge == 2:
+        text += " Kort."  # one-word sentence
+    elif edge == 3:
+        text += " <p>html &amp; taggar</p> ¶¤¥ $100 a|b."
+    elif edge == 4:
+        # duplicate sentence repeated within the document
+        dup = "Och att det som en av den med stora beslut i riksdagen."
+        text = dup + " " + text + " " + dup
+    return text
+
+
+def files_table(
+    spark: SparkSession,
+    n_rows: int = 5000,
+    n_repos: int = 50,
+    seed: int = 42,
+    hot_fraction: float = 0.30,
+    big_doc_every: int = 0,
+) -> DataFrame:
+    """Deterministic distributed generator for the files table.
+
+    ``big_doc_every``: if >0, every k-th row gets >100k chars of content
+    to exercise the chunking path (kernels/sentenize.py).
+    """
+
+    @F.pandas_udf(StringType())
+    def gen_content(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            rng = random.Random(seed * 1_000_003 + int(i))
+            lang = rng.choices(
+                ["sv", "en", "nb", "de", "fr", "da", "xx"],
+                weights=[60, 12, 8, 8, 6, 3, 3],
+            )[0]
+            text = _make_content(rng, lang, int(i) % 11)
+            if big_doc_every and int(i) % big_doc_every == 7:
+                text = (text + " ") * (120_000 // max(1, len(text)) + 1)
+            out.append(text)
+        return pd.Series(out, index=ids.index)
+
+    @F.pandas_udf(StringType())
+    def gen_lang(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            rng = random.Random(seed * 1_000_003 + int(i))
+            out.append(
+                rng.choices(
+                    ["sv", "en", "nb", "de", "fr", "da", "xx"],
+                    weights=[60, 12, 8, 8, 6, 3, 3],
+                )[0]
+            )
+        return pd.Series(out, index=ids.index)
+
+    hot_cut = int(n_rows * hot_fraction)
+    df = (
+        spark.range(n_rows)
+        .withColumn(
+            "repo",
+            F.when(F.col("id") < hot_cut, F.lit(HOT_REPO)).otherwise(
+                F.concat(F.lit("repo_"), (F.col("id") % n_repos).cast("string"))
+            ),
+        )
+        .withColumn(
+            "path",
+            F.concat(
+                F.lit("dir"),
+                (F.col("id") % 7).cast("string"),
+                F.lit("/file"),
+                F.col("id").cast("string"),
+                F.lit(".txt"),
+            ),
+        )
+        .withColumn(
+            "commit",
+            F.substring(
+                F.sha2(F.concat(F.lit(f"commit:{seed}:"), F.col("id")), 256), 1, 40
+            ),
+        )
+        .withColumn("lang", gen_lang(F.col("id")))
+        .withColumn("content", gen_content(F.col("id")))
+    )
+    return df.select("repo", "path", "commit", "lang", "content")
