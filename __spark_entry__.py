@@ -1,38 +1,52 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction pipeline on sf0.001;
+``queries()``/``oracle_sql()`` expose the correctness corpus defined in
+``riksdagen_sentences_spark.plans.corpus`` (Spark implementations and
+generated DuckDB oracle twins share the constants in ``semantics.py``).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+# make the package importable by Spark Python workers too
+_pp = os.environ.get("PYTHONPATH", "")
+if _REPO not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = _REPO + (os.pathsep + _pp if _pp else "")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full six-predicate triple graph on sf0.001 documents."""
+    from pyspark.sql import functions as F
+
+    from riksdagen_sentences_spark.plans import pipeline as P
+
+    docs = P.docs_from_documents(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    return (
+        P.triples(spark, docs)
+        .groupBy("pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("pred")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from riksdagen_sentences_spark.plans import corpus
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(corpus.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from riksdagen_sentences_spark.plans import corpus
+
+    return dict(corpus.ORACLES)
