@@ -1,0 +1,134 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": seconds, "unit": "sec", "queries": {...},
+ "sf": ..., "triples": N, "triples_per_sec": N, ...}
+
+The headline metric is end-to-end wall seconds over the query set; the
+north-rule metric (sentence-triple throughput) is reported alongside as
+``triples_per_sec`` (full six-predicate graph construction + count).
+Scaling evidence across two parallelism levels lives in
+tools/scaling_bench.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+_pp = os.environ.get("PYTHONPATH", "")
+if REPO not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = REPO + (os.pathsep + _pp if _pp else "")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from riksdagen_sentences_spark.operators import neardup as ND
+    from riksdagen_sentences_spark.operators import similarity as SIM
+    from riksdagen_sentences_spark.plans import pipeline as P
+    from riksdagen_sentences_spark.session import get_spark
+
+    spark = get_spark(parallelism=CPUS, app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs_raw = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    docs = P.docs_from_documents(docs_raw)
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # q1: the north-rule headline - full six-predicate graph construction
+    def q_triples():
+        n = P.triples(spark, docs).count()
+        extras["triples"] = n
+
+    timed("triples_full_graph", q_triples)
+    if timings["triples_full_graph"] > 0:
+        extras["triples_per_sec"] = round(
+            extras["triples"] / timings["triples_full_graph"], 1
+        )
+
+    # q2: accepted canonical sentences (UDF + salted dedup path)
+    timed("sentences", lambda: P.sentences(P.sentence_base(docs)).count())
+
+    # q3: rawtoken canonicalization (Zipf-skewed salted dedup)
+    timed(
+        "rawtokens",
+        lambda: P.rawtokens(P.token_base(P.sentence_base(docs))).count(),
+    )
+
+    # q4: MinHash-LSH near-dup candidates over documents
+    timed(
+        "lsh_candidate_pairs",
+        lambda: ND.lsh_candidate_pairs(docs_raw).count(),
+    )
+
+    # q5: brute-force cosine top-k over embeddings
+    timed(
+        "embedding_cosine_top10",
+        lambda: SIM.cosine_topk(emb, query_vec_id=0, k=10).collect(),
+    )
+
+    # q6: relational join+agg (broadcast dim + fact-fact join)
+    def q_revenue():
+        (
+            lineitem.join(
+                orders.select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .join(
+                customer.select("c_custkey", "c_nationkey"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .join(
+                F.broadcast(nation),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            )
+            .groupBy("n_name")
+            .agg(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                ).alias("revenue")
+            )
+            .collect()
+        )
+
+    timed("revenue_by_nation", q_revenue)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

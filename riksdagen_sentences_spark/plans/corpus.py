@@ -402,3 +402,682 @@ _register(
     "WHERE t.tok_accepted AND t.norm = lex.form AND t.lang = lex.lang"
     ") GROUP BY pred",
 )
+
+
+# ---------------------------------------------------------------------------
+# Reference SQL-corpus analogues (the 28 hand-written queries in
+# /root/reference/sql/*.sql, re-expressed over the graph tables).
+# On the driver testdata the dominant detected language is 'en', so each
+# language-parameterized query runs both the faithful 'sv' variant's
+# semantics and an 'en' instance that actually carries rows.
+# ---------------------------------------------------------------------------
+
+
+def _sentences_lang(spark, sf, iso):
+    return (
+        _sentences(spark, sf)
+        .filter(F.col("lang") == iso)
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# count_sv_sentences.sql:1-4
+_register(
+    "count_sentences_sv",
+    lambda spark, sf: _sentences_lang(spark, sf, "sv"),
+    f"WITH {sentence_ctes()} SELECT COUNT(*) AS n FROM sentences "
+    "WHERE lang = 'sv'",
+)
+_register(
+    "count_sentences_en",
+    lambda spark, sf: _sentences_lang(spark, sf, "en"),
+    f"WITH {sentence_ctes()} SELECT COUNT(*) AS n FROM sentences "
+    "WHERE lang = 'en'",
+)
+
+# count_sv_sentences_with_score_above_0.7.sql:1-5 (Q5 range predicate)
+_register(
+    "count_sentences_score_above_0_7",
+    lambda spark, sf: _sentences(spark, sf)
+    .filter(F.col("score") > 0.7)
+    .agg(F.count("*").alias("n")),
+    f"WITH {sentence_ctes()} SELECT COUNT(*) AS n FROM sentences "
+    "WHERE score > 0.7",
+)
+
+# all_swedish_sentences_with_entities.sql:1-9 (Q1 5-way join)
+_register(
+    "sentences_with_entities",
+    lambda spark, sf: P.mention_edges(_sentences(spark, sf))
+    .join(
+        _sentences(spark, sf).select(
+            F.col("sentence_id").alias("subj"), "text", "lang"
+        ),
+        "subj",
+    )
+    .select(
+        F.col("subj").alias("sentence_id"),
+        "text",
+        "lang",
+        F.col("obj").alias("entity_id"),
+    ),
+    f"WITH {sentence_ctes()} "
+    "SELECT m.subj AS sentence_id, s.text AS text, s.lang AS lang, "
+    f"{uuid5_sql(chr(39) + 'entity' + chr(39), 'label', 'ner_label')} AS "
+    "entity_id FROM (SELECT DISTINCT s2.sentence_id AS subj, g.label, "
+    f"g.ner_label FROM sentences s2, {gazetteer_values()} "
+    "WHERE contains(' ' || lower(s2.cleaned) || ' ', "
+    "' ' || g.label || ' ')) m JOIN sentences s ON s.sentence_id = m.subj",
+)
+
+# all_swedish_sentences_with_entities_count.sql:1-8 (Q10 groupBy)
+_register(
+    "sentence_entity_counts",
+    lambda spark, sf: P.mention_edges(_sentences(spark, sf))
+    .groupBy(F.col("subj").alias("sentence_id"))
+    .agg(F.count("*").alias("entity_count")),
+    f"WITH {sentence_ctes()} "
+    "SELECT subj AS sentence_id, COUNT(*) AS entity_count FROM "
+    "(SELECT DISTINCT s.sentence_id AS subj, g.label, g.ner_label "
+    f"FROM sentences s, {gazetteer_values()} "
+    "WHERE contains(' ' || lower(s.cleaned) || ' ', "
+    "' ' || g.label || ' ')) GROUP BY subj",
+)
+
+# average_of_entities_for_swedish_sentences_with_at_least_one_entity.sql
+# (Q12 nested aggregate)
+_register(
+    "avg_entities_per_sentence",
+    lambda spark, sf: P.mention_edges(_sentences(spark, sf))
+    .groupBy("subj")
+    .agg(F.count("*").alias("c"))
+    .agg(
+        (
+            F.floor(
+                F.avg("c") * 10000.0 + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("avg_entities")
+    ),
+    f"WITH {sentence_ctes()} "
+    "SELECT floor(AVG(c) * 10000.0 + 0.5) / 10000.0 AS avg_entities FROM "
+    "(SELECT subj, COUNT(*) AS c FROM (SELECT DISTINCT s.sentence_id AS "
+    f"subj, g.label, g.ner_label FROM sentences s, {gazetteer_values()} "
+    "WHERE contains(' ' || lower(s.cleaned) || ' ', "
+    "' ' || g.label || ' ')) GROUP BY subj)",
+)
+
+# count_entities_in_sv_sentences_group_by_label.sql:1-9 (Q10 + Q13)
+_register(
+    "entity_mention_counts_by_ner_label",
+    lambda spark, sf: P.mention_edges(_sentences(spark, sf))
+    .join(
+        P.entities(_sentences(spark, sf)).select(
+            F.col("entity_id").alias("obj"), "ner_label"
+        ),
+        "obj",
+    )
+    .groupBy("ner_label")
+    .agg(F.count("*").alias("entity_count")),
+    f"WITH {sentence_ctes()} "
+    "SELECT ner_label, COUNT(*) AS entity_count FROM "
+    "(SELECT DISTINCT s.sentence_id, g.label, g.ner_label "
+    f"FROM sentences s, {gazetteer_values()} "
+    "WHERE contains(' ' || lower(s.cleaned) || ' ', "
+    "' ' || g.label || ' ')) GROUP BY ner_label",
+)
+
+# all_unique_entities_per_document.sql:1-8 (Q11 group-by-as-distinct)
+_register(
+    "unique_entities_per_document",
+    lambda spark, sf: P.mention_edges(_sentences(spark, sf))
+    .join(
+        _sentences(spark, sf).select(
+            F.col("sentence_id").alias("subj"), "document_id"
+        ),
+        "subj",
+    )
+    .select("document_id", F.col("obj").alias("entity_id"))
+    .dropDuplicates(["document_id", "entity_id"]),
+    f"WITH {sentence_ctes()} "
+    "SELECT DISTINCT s.document_id AS document_id, "
+    f"{uuid5_sql(chr(39) + 'entity' + chr(39), 'label', 'ner_label')} AS "
+    f"entity_id FROM sentences s, {gazetteer_values()} "
+    "WHERE contains(' ' || lower(s.cleaned) || ' ', "
+    "' ' || g.label || ' ')",
+)
+
+# entities_count_per_documents.sql:1-7 (Q9 COUNT DISTINCT)
+_register(
+    "entity_counts_per_document",
+    lambda spark, sf: P.mention_edges(_sentences(spark, sf))
+    .join(
+        _sentences(spark, sf).select(
+            F.col("sentence_id").alias("subj"), "document_id"
+        ),
+        "subj",
+    )
+    .groupBy("document_id")
+    .agg(F.countDistinct("obj").alias("entity_count")),
+    f"WITH {sentence_ctes()} "
+    "SELECT document_id, COUNT(DISTINCT entity_id) AS entity_count FROM ("
+    "SELECT s.document_id AS document_id, "
+    f"{uuid5_sql(chr(39) + 'entity' + chr(39), 'label', 'ner_label')} AS "
+    f"entity_id FROM sentences s, {gazetteer_values()} "
+    "WHERE contains(' ' || lower(s.cleaned) || ' ', "
+    "' ' || g.label || ' ')) GROUP BY document_id",
+)
+
+# all_swedish_rawtokens_and_normtokens_with_score_above_0.7.sql (Q1 6-way)
+_register(
+    "rawtokens_with_normtokens_high_score",
+    lambda spark, sf: (
+        lambda toks: P.rawtokens(toks)
+        .filter(F.col("score") > 0.7)
+        .join(
+            P.normalizes_to_edges(toks).select(
+                F.col("subj").alias("rawtoken_id"),
+                F.col("obj").alias("normtoken_id"),
+            ),
+            "rawtoken_id",
+        )
+        .join(P.normtokens(toks).withColumnRenamed("text", "norm_text"),
+              "normtoken_id")
+        .select("rawtoken_id", "text", "postag", "lang", "score",
+                "norm_text")
+    )(_tokens(spark, sf)),
+    f"WITH {sentence_ctes()}{token_ctes()}, "
+    "rt AS (SELECT "
+    f"{uuid5_sql(chr(39) + 'rawtoken' + chr(39), 'text', 'pos', 'lang')} "
+    "AS rawtoken_id, text, pos AS postag, lang, MIN(score) AS score "
+    "FROM (SELECT raw AS text, pos, lang, score FROM token_flags WHERE "
+    "tok_accepted) GROUP BY text, pos, lang), "
+    f"n2r AS (SELECT DISTINCT {_RID_FROM_TOK} AS rawtoken_id, "
+    f"{uuid5_sql(chr(39) + 'normtoken' + chr(39), 'norm')} AS "
+    "normtoken_id, norm AS norm_text FROM token_flags WHERE tok_accepted) "
+    "SELECT rt.rawtoken_id AS rawtoken_id, rt.text AS text, rt.postag AS "
+    "postag, rt.lang AS lang, rt.score AS score, n2r.norm_text AS "
+    "norm_text FROM rt JOIN n2r ON rt.rawtoken_id = n2r.rawtoken_id "
+    "WHERE rt.score > 0.7",
+)
+
+# count_sv_rawtoken_links_by_category.sql:1-8 (Q10 + broadcast dim join)
+_register(
+    "rawtoken_counts_by_category",
+    lambda spark, sf: P.rawtokens(_tokens(spark, sf))
+    .groupBy("postag")
+    .agg(F.count("*").alias("n")),
+    f"WITH {sentence_ctes()}{token_ctes()} "
+    "SELECT postag, COUNT(*) AS n FROM (SELECT DISTINCT raw AS text, pos "
+    "AS postag, lang FROM token_flags WHERE tok_accepted) GROUP BY postag",
+)
+
+# count_tokens_with_garbage_chars.sql:1-3 (Q7) - rawtokens exclude
+# garbage by construction, so this audits the *candidate* token stream.
+_register(
+    "count_tokens_with_garbage_chars",
+    lambda spark, sf: _tokens(spark, sf)
+    .filter(F.col("raw").rlike(r"[¥¶]"))
+    .agg(F.count("*").alias("n")),
+    f"WITH {sentence_ctes()}{token_ctes()} "
+    "SELECT COUNT(*) AS n FROM token_flags "
+    "WHERE regexp_matches(raw, '[¥¶]')",
+)
+
+# count_language_id_mismatches.sql + delete_language_mismatches... (Q2/Q16)
+# Our engine derives token language FROM the sentence, so mismatches are
+# structurally impossible - the audit + repair anti-join must return the
+# full edge set unchanged.
+_register(
+    "occursin_after_language_repair",
+    lambda spark, sf: (
+        lambda toks: (
+            lambda edges, bad: edges.join(bad, "subj", "left_anti").agg(
+                F.count("*").alias("n")
+            )
+        )(
+            P.occurs_in_edges(toks),
+            P.rawtokens(toks)
+            .filter(~F.col("lang").isin(*S.ACCEPTED_LANGUAGES))
+            .select(F.col("rawtoken_id").alias("subj")),
+        )
+    )(_tokens(spark, sf)),
+    f"WITH {sentence_ctes()}{token_ctes()} "
+    "SELECT COUNT(*) AS n FROM ("
+    f"SELECT DISTINCT {_RID_FROM_TOK} AS subj, {_SID_FROM_TOK} AS obj "
+    "FROM token_flags WHERE tok_accepted AND sent_accepted) e "
+    "WHERE e.subj NOT IN (SELECT "
+    f"{uuid5_sql(chr(39) + 'rawtoken' + chr(39), 'text', 'pos', 'lang')} "
+    "FROM (SELECT DISTINCT raw AS text, pos, lang FROM token_flags WHERE "
+    f"tok_accepted) WHERE lang NOT IN ({ACCEPT_LANGS_SQL}))",
+)
+
+
+# ---------------------------------------------------------------------------
+# Lookup serving surface (A1-A3, reference models/api/__init__.py) with
+# deterministic tiebreak + OFFSET pagination (Q14/Q20)
+# ---------------------------------------------------------------------------
+
+from . import lookup as L  # noqa: E402
+
+
+def _lookup_page_sql(where: str, limit: int, offset: int) -> str:
+    return (
+        f"WITH {sentence_ctes()}{token_ctes()} "
+        "SELECT sentence_id, text, lang, n_chars FROM ("
+        "SELECT s.sentence_id AS sentence_id, s.text AS text, "
+        "s.lang AS lang, length(s.text) AS n_chars FROM sentences s "
+        f"{where}) ORDER BY n_chars ASC, sentence_id ASC "
+        f"LIMIT {limit} OFFSET {offset}"
+    )
+
+
+_register(
+    "lookup_simple_token",
+    lambda spark, sf: L.lookup_sentences(
+        spark, _docs(spark, sf), "scan", "Q1084", "en", limit=20, offset=5
+    ),
+    _lookup_page_sql(
+        "WHERE s.sentence_id IN (SELECT DISTINCT "
+        + _SID_FROM_TOK
+        + " FROM token_flags WHERE tok_accepted AND sent_accepted "
+        "AND raw = 'scan' AND pos IN (SELECT unnest(['NOUN','X'])) "
+        "AND lang = 'en')",
+        20,
+        5,
+    ),
+)
+
+_register(
+    "lookup_compound_token",
+    lambda spark, sf: L.lookup_sentences(
+        spark, _docs(spark, sf), "table scan", "Q1084", "en",
+        limit=20, offset=0,
+    ),
+    _lookup_page_sql(
+        "WHERE s.lang = 'en' AND contains(lower(s.text), 'table scan')",
+        20,
+        0,
+    ),
+)
+
+_register(
+    "lookup_count",
+    lambda spark, sf: L.lookup_count(
+        spark, _docs(spark, sf), "scan", "Q1084", "en"
+    ),
+    f"WITH {sentence_ctes()}{token_ctes()} "
+    "SELECT COUNT(*) AS total FROM sentences s WHERE s.sentence_id IN "
+    f"(SELECT DISTINCT {_SID_FROM_TOK} FROM token_flags "
+    "WHERE tok_accepted AND sent_accepted AND raw = 'scan' "
+    "AND pos IN (SELECT unnest(['NOUN','X'])) AND lang = 'en')",
+)
+
+
+# ---------------------------------------------------------------------------
+# Relational operator corpus over the TPC-H-ish driver tables (the
+# reference's SQL surface is plain joins/aggregates - Q1-Q20 in SURVEY
+# §2.5; exercised here on fact tables big enough to matter).
+# Double aggregation goes through DECIMAL(18,2) on BOTH sides so sums are
+# exact and order-independent.
+# ---------------------------------------------------------------------------
+
+_DEC = "decimal(18,2)"
+
+
+_register(
+    "orders_priority_counts",
+    lambda spark, sf: _read(spark, sf, "orders")
+    .groupBy("o_orderpriority")
+    .agg(F.count("*").alias("n")),
+    "SELECT o_orderpriority, COUNT(*) AS n FROM orders "
+    "GROUP BY o_orderpriority",
+)
+
+_register(
+    "lineitem_pricing_summary",
+    lambda spark, sf: _read(spark, sf, "lineitem")
+    .groupBy("l_returnflag", "l_linestatus")
+    .agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias(
+            "sum_qty"
+        ),
+        F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double").alias(
+            "sum_base_price"
+        ),
+        F.sum(
+            F.col("l_extendedprice").cast(_DEC)
+            * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+        ).cast("double").alias("sum_disc_price"),
+        F.count("*").alias("count_order"),
+    ),
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) "
+    "AS sum_base_price, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
+    "AS DOUBLE) AS sum_disc_price, "
+    "COUNT(*) AS count_order "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+)
+
+_register(
+    "revenue_by_nation",
+    lambda spark, sf: _read(spark, sf, "lineitem")
+    .join(
+        _read(spark, sf, "orders").select("o_orderkey", "o_custkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    .join(
+        _read(spark, sf, "customer").select("c_custkey", "c_nationkey"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    .join(
+        F.broadcast(_read(spark, sf, "nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    .groupBy("n_name")
+    .agg(
+        F.sum(
+            F.col("l_extendedprice").cast(_DEC)
+            * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+        ).cast("double").alias("revenue")
+    ),
+    "SELECT n_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS "
+    "DOUBLE) AS revenue "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
+)
+
+_register(
+    "customers_without_orders",
+    lambda spark, sf: _read(spark, sf, "customer")
+    .join(
+        _read(spark, sf, "orders").select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    .select("c_custkey", "c_name"),
+    "SELECT c_custkey, c_name FROM customer "
+    "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
+)
+
+_register(
+    "top10_customers_by_spend",
+    lambda spark, sf: _read(spark, sf, "orders")
+    .groupBy("o_custkey")
+    .agg(F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias(
+        "spend"
+    ))
+    .orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
+    .limit(10),
+    "SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS "
+    "DOUBLE) AS spend "
+    "FROM orders GROUP BY o_custkey "
+    "ORDER BY spend DESC, o_custkey ASC LIMIT 10",
+)
+
+_register(
+    "orders_page_offset",
+    lambda spark, sf: _read(spark, sf, "orders")
+    .select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+            "order_ts"
+        ),
+    )
+    .orderBy(F.col("order_ts").asc(), F.col("o_orderkey").asc())
+    .offset(100)
+    .limit(50),
+    "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS "
+    "order_ts FROM orders ORDER BY order_ts ASC, o_orderkey ASC "
+    "LIMIT 50 OFFSET 100",
+)
+
+_register(
+    "first_event_per_user",
+    lambda spark, sf: _read(spark, sf, "events")
+    .withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("ts").asc(), F.col("event_id").asc()
+            )
+        ),
+    )
+    .filter(F.col("rn") == 1)
+    .select("user_id", "event_id", "event_type"),
+    "SELECT user_id, event_id, event_type FROM ("
+    "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+    "ORDER BY ts ASC, event_id ASC) AS rn FROM events) WHERE rn = 1",
+)
+
+_register(
+    "events_value_by_type",
+    lambda spark, sf: _read(spark, sf, "events")
+    .groupBy("event_type")
+    .agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias(
+            "total_value"
+        ),
+    ),
+    "SELECT event_type, COUNT(*) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value "
+    "FROM events GROUP BY event_type",
+)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+from ..operators import neardup as ND  # noqa: E402
+from ..operators import similarity as SIM  # noqa: E402
+from ..operators import textstats as TS  # noqa: E402
+
+_NORM_SQL = (
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), "
+    + TRIM_CHARS
+    + ")"
+)
+_WORDS_SQL = f"list_filter(string_split({_NORM_SQL}, ' '), w -> w <> '')"
+_SHINGLES_SQL = (
+    f"list_distinct(list_transform(range(0, len({_WORDS_SQL}) - "
+    f"{ND.SHINGLE_K} + 1), i -> array_to_string(list_slice({_WORDS_SQL}, "
+    f"i + 1, i + {ND.SHINGLE_K}), ' ')))"
+)
+
+
+_register(
+    "doc_stats",
+    lambda spark, sf: TS.doc_stats(_read(spark, sf, "documents")),
+    f"""
+WITH base AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))
+      AS ws_tokens,
+    len(regexp_extract_all(text, '{TS.BPE_RE}')) AS bpe_tokens,
+    length(text) AS n_chars,
+    len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]')) AS n_punct,
+    {sql_clean_sentence('text')} AS cleaned,
+    text
+  FROM documents
+),
+ratios AS (
+  SELECT doc_id, ws_tokens, bpe_tokens, cleaned, text,
+    CASE WHEN n_chars = 0 THEN 0.0 ELSE floor(CAST(n_punct AS DOUBLE) /
+      n_chars * 10000.0 + 0.5) / 10000.0 END AS punct_ratio,
+    CASE WHEN ws_tokens = 0 THEN 0.0 ELSE floor(
+      CAST(len(list_filter(list_filter(string_split_regex(lower(text),
+      '\\s+'), w -> w <> ''), w -> w IN ({", ".join(f"{chr(39)}{w}{chr(39)}" for w in TS.STOPWORDS_ALL)})))
+      AS DOUBLE) / ws_tokens * 10000.0 + 0.5) / 10000.0 END
+      AS stopword_ratio
+  FROM base
+)
+SELECT doc_id, ws_tokens, bpe_tokens, punct_ratio, stopword_ratio,
+  floor(greatest(0.0, least(1.0,
+    least(CAST(ws_tokens AS DOUBLE) / 100.0, 1.0) - punct_ratio * 2.0))
+    * 10000.0 + 0.5) / 10000.0 AS quality,
+  sha256({_NORM_SQL}) AS fingerprint,
+  {sql_langid_select('cleaned')[0]} AS detected_lang,
+  {sql_langid_select('cleaned')[1]} AS lang_score
+FROM ratios
+""",
+)
+
+_register(
+    "exact_dup_groups",
+    lambda spark, sf: ND.exact_dup_groups(_read(spark, sf, "documents")),
+    f"SELECT sha256({_NORM_SQL}) AS fingerprint, COUNT(*) AS n, "
+    "MIN(doc_id) AS keeper FROM documents "
+    f"GROUP BY sha256({_NORM_SQL}) HAVING COUNT(*) > 1",
+)
+
+_register(
+    "ngram_jaccard_pairs",
+    lambda spark, sf: ND.ngram_jaccard_pairs(
+        _read(spark, sf, "documents"), threshold=0.2
+    ),
+    f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+  floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0 + 0.5) / 10000.0
+    AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0 + 0.5)
+  / 10000.0 >= 0.2
+""",
+)
+
+_MH_COLS_SQL = ", ".join(
+    f"list_min(list_transform({_SHINGLES_SQL}, x -> md5('{s}:' || x))) "
+    f"AS mh{s}"
+    for s in range(ND.MINHASH_SEEDS)
+)
+
+_register(
+    "minhash_signatures",
+    lambda spark, sf: ND.minhash_signatures(_read(spark, sf, "documents")),
+    f"SELECT doc_id, {_MH_COLS_SQL} FROM documents",
+)
+
+_LSH_BAND_SQL = " UNION ALL ".join(
+    "SELECT doc_id, md5('"
+    + str(band)
+    + "' || '|' || "
+    + " || '|' || ".join(
+        f"mh{band * (ND.MINHASH_SEEDS // ND.LSH_BANDS) + r}"
+        for r in range(ND.MINHASH_SEEDS // ND.LSH_BANDS)
+    )
+    + f") AS band_key FROM sig WHERE mh{band * (ND.MINHASH_SEEDS // ND.LSH_BANDS)} IS NOT NULL"
+    for band in range(ND.LSH_BANDS)
+)
+
+_register(
+    "lsh_candidate_pairs",
+    lambda spark, sf: ND.lsh_candidate_pairs(_read(spark, sf, "documents")),
+    f"""
+WITH sig AS (SELECT doc_id, {_MH_COLS_SQL} FROM documents),
+bands AS ({_LSH_BAND_SQL})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+)
+
+_SIMHASH_BIT_SQL = " || ".join(
+    f"(CASE WHEN list_sum(list_transform({_WORDS_SQL}, w -> CASE WHEN "
+    f"upper(substr(md5(w), {j + 1}, 1)) IN "
+    "('8','9','A','B','C','D','E','F') THEN 1 ELSE -1 END)) > 0 "
+    "THEN '1' ELSE '0' END)"
+    for j in range(ND.SIMHASH_BITS)
+)
+
+_register(
+    "simhash_fingerprints",
+    lambda spark, sf: ND.simhash_fingerprints(
+        _read(spark, sf, "documents")
+    ),
+    f"SELECT doc_id, {_SIMHASH_BIT_SQL} AS simhash FROM documents",
+)
+
+_register(
+    "embedding_cosine_top10",
+    lambda spark, sf: SIM.cosine_topk(
+        _read(spark, sf, "embeddings"), query_vec_id=0, k=10
+    ),
+    """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+           WHERE vec_id = 0)
+SELECT vec_id,
+  floor(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+    (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                           CAST(embedding AS DOUBLE[]))) *
+     sqrt(list_dot_product(qv, qv))) * 10000.0 + 0.5) / 10000.0 AS cosine
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
+)
+
+# LSH-bucketed ANN: the deterministic hyperplane signs are generated from
+# md5 constants in Python at corpus-build time and inlined as literals on
+# both sides, so the oracle is exact.
+
+
+def _plane_sign_literals(dims: int, n_planes: int) -> list[list[float]]:
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) >= 8
+            else -1.0
+            for d in range(dims)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+_EMB_DIMS = 64
+_PLANES = _plane_sign_literals(_EMB_DIMS, 8)
+_BUCKET_SQL = " || ".join(
+    "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
+    + ", ".join(str(s) for s in plane)
+    + "]) > 0 THEN '1' ELSE '0' END)"
+    for plane in _PLANES
+)
+
+_register(
+    "embedding_lsh_top10",
+    lambda spark, sf: SIM.lsh_cosine_topk(
+        _read(spark, sf, "embeddings"), query_vec_id=0, dims=_EMB_DIMS,
+        k=10, n_planes=8,
+    ),
+    f"""
+WITH sig AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_BUCKET_SQL} AS bucket
+  FROM embeddings
+),
+q AS (SELECT v AS qv, bucket AS qb FROM sig WHERE vec_id = 0)
+SELECT vec_id,
+  floor(list_dot_product(v, qv) /
+    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+    * 10000.0 + 0.5) / 10000.0 AS cosine
+FROM sig, q WHERE bucket = qb AND vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
+)

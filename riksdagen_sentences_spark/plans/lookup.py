@@ -1,0 +1,101 @@
+"""The reference's serving surface (/lookup) as DataFrame query functions.
+
+Reference: FastAPI POST /lookup (/root/reference/models/api/__init__.py:
+160-283) dispatches on token shape - a simple token (no space) resolves a
+rawtoken by (text, lexical-category QID, iso code) and fetches its linked
+sentences; a compound token (contains a space,
+models/api/__init__.py:96-99) falls back to a case-insensitive substring
+scan over sentences in that language.  Both order by sentence length and
+paginate (LIMIT/OFFSET, models/crud/read.py:122-165) and return a total
+count (X-Total-Count, models/api/__init__.py:277-280).
+
+Determinism upgrade: ORDER BY length has ties, so sentence_id is the
+explicit tiebreak on both the Spark and oracle sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import semantics as S
+from ..ids import uuid5_col
+from . import pipeline as P
+
+
+def is_compound_token(token: str) -> bool:
+    """models/api/__init__.py:96-99."""
+    return " " in token
+
+
+def _postag_for_qid(qid: str) -> list[str]:
+    return [t for t, q in S.LEXICAL_CATEGORIES.items() if q == qid]
+
+
+def _lookup_hits(
+    spark: SparkSession,
+    docs: DataFrame,
+    token: str,
+    category_qid: str,
+    iso_code: str,
+) -> DataFrame:
+    base = P.sentence_base(docs)
+    sents = P.sentences(base)
+    if is_compound_token(token):
+        hits = sents.filter(
+            (F.col("lang") == iso_code)
+            & F.lower(F.col("text")).contains(token.lower())
+        )
+    else:
+        toks = P.token_base(base)
+        postags = _postag_for_qid(category_qid)
+        acc = toks.filter(
+            F.col("tok_accepted")
+            & F.col("sent_accepted")
+            & (F.col("raw") == token)
+            & F.col("pos").isin(postags)
+            & (F.col("lang") == iso_code)
+        ).select(
+            uuid5_col(
+                F.lit("sentence"), "text", "document_id", "lang"
+            ).alias("sentence_id")
+        ).dropDuplicates(["sentence_id"])
+        hits = sents.join(acc, "sentence_id", "left_semi")
+    return hits
+
+
+def lookup_sentences(
+    spark: SparkSession,
+    docs: DataFrame,
+    token: str,
+    category_qid: str,
+    iso_code: str,
+    limit: int = 100,
+    offset: int = 0,
+) -> DataFrame:
+    """A2/A3 lookup returning (sentence_id, text, lang, n_chars) page."""
+    hits = _lookup_hits(spark, docs, token, category_qid, iso_code)
+    page = (
+        hits.select(
+            "sentence_id",
+            "text",
+            "lang",
+            F.length("text").alias("n_chars"),
+        )
+        .orderBy(F.col("n_chars").asc(), F.col("sentence_id").asc())
+        .offset(offset)
+        .limit(limit)
+    )
+    return page
+
+
+def lookup_count(
+    spark: SparkSession,
+    docs: DataFrame,
+    token: str,
+    category_qid: str,
+    iso_code: str,
+) -> DataFrame:
+    """The X-Total-Count half of the count-then-page pattern (Q20)."""
+    hits = _lookup_hits(spark, docs, token, category_qid, iso_code)
+    return hits.agg(F.count("*").alias("total"))

@@ -292,11 +292,25 @@ def has_text_edges(sentences_df: DataFrame) -> DataFrame:
 
 
 def triples(
-    spark: SparkSession, docs: DataFrame, use_udf_langid: bool = True
+    spark: SparkSession,
+    docs: DataFrame,
+    use_udf_langid: bool = True,
+    cache: bool = True,
 ) -> DataFrame:
-    """The full graph as one (subj, pred, obj) DataFrame."""
+    """The full graph as one (subj, pred, obj) DataFrame.
+
+    ``cache=True`` persists the sentence base and canonical sentences:
+    the six edge branches would otherwise each re-run the sentenizer and
+    langid UDF lineage.  (At production scale the same cut-points are
+    materialized tables - see plans/materialize.py - so persisting here
+    mirrors the real execution shape, not just a local trick.)
+    """
     base = sentence_base(docs, use_udf_langid=use_udf_langid)
+    if cache:
+        base = base.persist()
     sents = sentences(base)
+    if cache:
+        sents = sents.persist()
     toks = token_base(base)
     return (
         part_of_edges(sents)
