@@ -1,0 +1,83 @@
+"""Streaming ingest + multimodal plumbing tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from riksdagen_sentences_spark.operators import multimodal as MM
+from riksdagen_sentences_spark.plans import pipeline as P
+from riksdagen_sentences_spark.sources.synth import files_table
+from riksdagen_sentences_spark.streaming.incremental import (
+    stream_files_to_graph,
+    windowed_event_counts,
+)
+
+
+def test_stream_files_to_graph_matches_batch(spark, tmp_path):
+    indir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    files = files_table(spark, n_rows=60, seed=42)
+    files.repartition(4).write.mode("overwrite").parquet(indir)
+
+    q = stream_files_to_graph(spark, indir, out, ckpt, available_now=True)
+    q.awaitTermination(240)
+
+    got = spark.read.parquet(f"{out}/triples").drop("batch_id")
+    batch = P.triples(spark, P.docs_from_files(files), cache=True)
+    # streaming microbatches dedup per batch; compare distinct triple sets
+    a = {tuple(r) for r in got.dropDuplicates(["subj", "pred", "obj"]).collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert a == b
+    assert len(a) > 0
+
+    # restart with same checkpoint: no new input -> no duplicate append
+    n_before = spark.read.parquet(f"{out}/triples").count()
+    q2 = stream_files_to_graph(spark, indir, out, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{out}/triples").count() == n_before
+
+
+def test_windowed_event_counts_batch_semantics(spark):
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:01:00", "click", 1.0),
+            (2, "2024-01-01 00:04:00", "click", 2.0),
+            (3, "2024-01-01 00:12:00", "click", 3.0),
+            (4, "2024-01-01 00:13:00", "error", 4.0),
+        ],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = {
+        (r["window_start"].minute, r["event_type"]): (r["n"], r["total_value"])
+        for r in windowed_event_counts(events, "10 minutes", "30 minutes").collect()
+    }
+    assert rows[(0, "click")] == (2, 3.0)
+    assert rows[(10, "click")] == (1, 3.0)
+    assert rows[(10, "error")] == (1, 4.0)
+
+
+def test_multimodal_feature_extraction(spark):
+    media = MM.synth_media(spark, n=30)
+    feats = MM.extract_features(media, decoder="fake").collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["features"]) == MM.FEATURE_DIM
+        assert all(0.0 <= x < 1.0 for x in r["features"])
+        assert r["n_bytes"] > 0
+    # deterministic across runs
+    again = MM.extract_features(MM.synth_media(spark, n=30), "fake").collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))
+
+
+def test_multimodal_real_decoder_is_gated(spark):
+    media = MM.synth_media(spark, n=4)
+    with pytest.raises(Exception, match="NotImplementedError|real media"):
+        MM.extract_features(media, decoder="real").collect()
+
+
+def test_frame_sample_plan(spark):
+    media = MM.synth_media(spark, n=12)
+    frames = MM.frame_sample_plan(media, every_ms=1000)
+    rows = frames.groupBy("media_id").count().collect()
+    vids = media.filter(F.col("kind") == "video").count()
+    assert len(rows) == vids
