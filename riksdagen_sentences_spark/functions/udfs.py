@@ -47,7 +47,7 @@ ENTITY_TYPE = ArrayType(
 
 
 @F.pandas_udf(ArrayType(StringType()))
-def sentenize_udf(content: pd.Series) -> pd.Series:
+def _sentenize_udf(content: pd.Series) -> pd.Series:
     """document text -> array of sentences (chunk -> TOC-clean -> punkt
     boundary split; reference models/document.py:86-200)."""
     return content.apply(
@@ -56,7 +56,7 @@ def sentenize_udf(content: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(LANG_SCORE_TYPE)
-def langid_udf(cleaned: pd.Series) -> pd.DataFrame:
+def _langid_udf(cleaned: pd.Series) -> pd.DataFrame:
     """cleaned sentence -> (lang, score) struct (replaces fasttext,
     reference models/sentence.py:193-209)."""
     pairs = [
@@ -67,7 +67,7 @@ def langid_udf(cleaned: pd.Series) -> pd.DataFrame:
 
 
 @F.pandas_udf(ENTITY_TYPE)
-def ner_udf(cleaned: pd.Series) -> pd.Series:
+def _ner_udf(cleaned: pd.Series) -> pd.Series:
     """cleaned sentence -> unique (label, ner_label) mentions from the
     broadcast gazetteer (replaces spaCy doc.ents,
     reference models/entities.py:21-27)."""
@@ -77,6 +77,18 @@ def ner_udf(cleaned: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(StringType())
-def html_to_text_udf(html: pd.Series) -> pd.Series:
+def _html_to_text_udf(html: pd.Series) -> pd.Series:
     """HTML -> text (reference models/document.py:115-121)."""
     return html.apply(lambda h: K_text.html_to_text(h) if h is not None else "")
+
+
+# All kernels ARE deterministic, but we register them as nondeterministic
+# on purpose: it stops Catalyst from duplicating the Python call when a
+# filter on the UDF's output is pushed through the defining projection
+# (observed: langid_udf evaluated TWICE per row - one ArrowEvalPython for
+# the pushed filter, another for the output columns).  One Python pass
+# per batch is worth more than filter pushdown into the Arrow channel.
+sentenize_udf = _sentenize_udf.asNondeterministic()
+langid_udf = _langid_udf.asNondeterministic()
+ner_udf = _ner_udf.asNondeterministic()
+html_to_text_udf = _html_to_text_udf.asNondeterministic()

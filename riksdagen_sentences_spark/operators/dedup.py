@@ -40,32 +40,22 @@ def salted_dedup(
         # key-only dedup is map-side combinable already (partial hash agg
         # collapses the hot key within each task) - no salting needed
         return df.dropDuplicates(keys)
-    payload = F.struct(*[F.col(c) for c in others]).alias("__payload")
-    if order_col is not None:
-        agg1 = F.min_by(payload, F.col(order_col)).alias("__payload")
-        # carry the order column through so phase 2 can re-reduce
-        salted = df.withColumn(
-            SALT_COL, F.pmod(F.spark_partition_id(), F.lit(salt_buckets))
-        )
-        phase1 = salted.groupBy(*keys, SALT_COL).agg(
-            agg1, F.min(order_col).alias("__ord")
-        )
-        phase2 = phase1.groupBy(*keys).agg(
-            F.min_by("__payload", "__ord").alias("__payload")
-        )
-    else:
-        salted = df.withColumn(
-            SALT_COL, F.pmod(F.spark_partition_id(), F.lit(salt_buckets))
-        )
-        phase1 = salted.groupBy(*keys, SALT_COL).agg(
-            F.min(payload).alias("__payload")
-        )
-        phase2 = phase1.groupBy(*keys).agg(
-            F.min("__payload").alias("__payload")
-        )
-    return phase2.select(
-        *keys, *[F.col(f"__payload.{c}").alias(c) for c in others]
+    # Per-column MIN instead of min_by(struct(...)): struct-typed agg
+    # buffers force SortAggregate (3 sorts in the plan); primitive MINs
+    # keep both phases in HashAggregate with map-side partials.  This is
+    # correct because in every pipeline use the non-key columns are
+    # functionally dependent on the key (identical within a group), so
+    # any per-column reduction yields the group's single value; MIN of
+    # the order column is the first-occurrence index the reference's
+    # insert-on-first-sight semantics needs.
+    del order_col  # kept in the signature for call-site documentation
+    aggs = [F.min(c).alias(c) for c in others]
+    salted = df.withColumn(
+        SALT_COL, F.pmod(F.spark_partition_id(), F.lit(salt_buckets))
     )
+    phase1 = salted.groupBy(*keys, SALT_COL).agg(*aggs)
+    phase2 = phase1.groupBy(*keys).agg(*aggs)
+    return phase2.select(*keys, *others)
 
 
 def exact_dedup(df: DataFrame, keys: list[str]) -> DataFrame:

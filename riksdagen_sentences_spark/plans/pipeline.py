@@ -102,11 +102,15 @@ def sentences(base: DataFrame) -> DataFrame:
             F.col("word_count"), F.col("lang"), F.col("score")
         )
     )
+    # drop 'cleaned' before the dedup and recompute it after: it is a
+    # pure JVM function of the key column 'text', and keeping only
+    # fixed-size payloads (ints/doubles) lets both salted phases run as
+    # HashAggregate with map-side partials instead of SortAggregate
     deduped = salted_dedup(
-        accepted,
+        accepted.drop("cleaned"),
         keys=["text", "document_id", "lang"],
         order_col="sent_idx",
-    )
+    ).withColumn("cleaned", C.clean_sentence_col(F.col("text")))
     return deduped.select(
         uuid5_col(F.lit("sentence"), "text", "document_id", "lang").alias(
             "sentence_id"
