@@ -1081,3 +1081,88 @@ FROM sig, q WHERE bucket = qb AND vec_id <> 0
 ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-shape aggregation (batch semantics twin of
+# streaming.incremental.windowed_event_counts) + embedding near-dup
+# ---------------------------------------------------------------------------
+
+from ..streaming.incremental import windowed_event_counts  # noqa: E402
+
+
+_register(
+    "windowed_event_counts",
+    lambda spark, sf: windowed_event_counts(
+        _read(spark, sf, "events"), "10 minutes", "30 minutes"
+    ).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_end"
+        ),
+        "event_type",
+        "n",
+        "total_value",
+    ),
+    "SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), "
+    "'%Y-%m-%d %H:%M:%S') AS window_start, "
+    "strftime(time_bucket(INTERVAL '10 minutes', ts) + "
+    "INTERVAL '10 minutes', '%Y-%m-%d %H:%M:%S') AS window_end, "
+    "event_type, COUNT(*) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value "
+    "FROM events GROUP BY 1, 2, event_type",
+)
+
+
+# embedding-cosine near-dup pairs: all pairs above a cosine threshold
+# within LSH buckets (the scale path for embedding dedup); exact within
+# buckets, threshold keeps the result tiny.
+def _emb_neardup(spark, sf):
+    from ..operators import similarity as SIM2
+
+    emb = _read(spark, sf, "embeddings")
+    sig = emb.withColumn(
+        "bucket",
+        SIM2.lsh_plane_sign_cols(F.col("embedding"), _EMB_DIMS, 8),
+    ).select("vec_id", "bucket", "embedding")
+    a = sig.alias("a")
+    b = sig.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            SIM2.cosine_col(
+                F.col("a.embedding"), F.col("b.embedding")
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.2)
+    )
+    return pairs
+
+
+_register(
+    "embedding_neardup_pairs",
+    _emb_neardup,
+    f"""
+WITH sig AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_BUCKET_SQL} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  floor(list_dot_product(a.v, b.v) /
+    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+    * 10000.0 + 0.5) / 10000.0 AS cosine
+FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE floor(list_dot_product(a.v, b.v) /
+    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+    * 10000.0 + 0.5) / 10000.0 >= 0.2
+""",
+)

@@ -34,18 +34,28 @@ from ..operators.dedup import salted_dedup
 from ..sources import dims
 
 
-def docs_from_files(files: DataFrame) -> DataFrame:
+def docs_from_files(files: DataFrame, strip_html: bool = False) -> DataFrame:
     """Normalize the north-rule ``files`` table to (document_id, content).
 
     document_id = uuid5('document', repo, path, commit) - deterministic,
     content-addressed (replaces auto-increment document.id,
     reference models/crud/create.py:72-80).
+
+    ``strip_html=True`` mirrors reference D1 (models/document.py:115-121,
+    129-131): documents whose body is HTML are converted to text before
+    sentenization.  Detection is a cheap JVM rlike; the conversion UDF
+    runs only on matching rows.
     """
+    content = F.col("content")
+    if strip_html:
+        content = F.when(
+            content.rlike(r"<[A-Za-z!/][^>]*>"), U.html_to_text_udf(content)
+        ).otherwise(content)
     return files.select(
         uuid5_col(F.lit("document"), "repo", "path", "commit").alias(
             "document_id"
         ),
-        F.col("content"),
+        content.alias("content"),
     )
 
 

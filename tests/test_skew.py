@@ -1,0 +1,90 @@
+"""Skew stress: Zipfian keys + one hot repo (the north rule's motivating
+case).  Verifies the salted two-phase dedup is (a) correct under extreme
+hot keys, (b) actually splits the hot key across salt buckets in phase 1,
+and (c) the pipeline survives a hot repo holding ~30% of all rows with
+100x content."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from riksdagen_sentences_spark.operators.dedup import salted_dedup
+from riksdagen_sentences_spark.plans import pipeline as P
+from riksdagen_sentences_spark.sources.synth import HOT_REPO, files_table
+
+
+def test_salted_dedup_correct_under_hot_key(spark):
+    # 50k rows of one hot key + 1k distinct cold keys
+    hot = spark.range(50000).select(
+        F.lit("och").alias("text"),
+        F.lit("CCONJ").alias("pos"),
+        F.lit("sv").alias("lang"),
+        (F.col("id") % 7 + 1).cast("double").alias("score"),
+    )
+    cold = spark.range(1000).select(
+        F.concat(F.lit("w"), F.col("id")).alias("text"),
+        F.lit("NOUN").alias("pos"),
+        F.lit("sv").alias("lang"),
+        F.lit(0.9).alias("score"),
+    )
+    df = hot.unionByName(cold).repartition(16)
+    out = salted_dedup(df, keys=["text", "pos", "lang"], salt_buckets=8)
+    rows = {r["text"]: r["score"] for r in out.collect()}
+    assert len(rows) == 1001
+    assert rows["och"] == 1.0  # min over the hot key's 7 score values
+    assert rows["w0"] == 0.9
+
+
+def test_salted_phase1_splits_hot_key(spark):
+    """Phase 1 must output multiple rows for the hot key (one per salt
+    bucket it appeared in) - that is the skew defusal."""
+    hot = spark.range(4000).select(
+        F.lit("och").alias("k"), F.lit(1.0).alias("v")
+    ).repartition(16)
+    salted = hot.withColumn(
+        "__salt", F.pmod(F.spark_partition_id(), F.lit(8))
+    )
+    phase1 = salted.groupBy("k", "__salt").agg(F.min("v").alias("v"))
+    n = phase1.count()
+    assert 1 < n <= 8  # hot key split across buckets, bounded by salts
+
+
+def test_pipeline_with_extreme_hot_repo(spark):
+    files = files_table(spark, n_rows=400, seed=11, hot_fraction=0.5)
+    # amplify: hot repo's docs get 100x content
+    amplified = files.withColumn(
+        "content",
+        F.when(
+            F.col("repo") == HOT_REPO,
+            F.concat_ws(" ", *[F.col("content")] * 100),
+        ).otherwise(F.col("content")),
+    )
+    docs = P.docs_from_files(amplified)
+    t = P.triples(spark, docs, cache=True)
+    counts = {r["pred"]: r["count"] for r in t.groupBy("pred").count().collect()}
+    assert counts.get("partOf", 0) > 0
+    assert counts.get("occursIn", 0) > 0
+    # dedup invariant: partOf edges == distinct sentences
+    sents = P.sentences(P.sentence_base(docs))
+    assert counts["partOf"] == sents.count()
+
+
+def test_html_ingestion_path(spark):
+    files = spark.createDataFrame(
+        [
+            ("r", "a.html", "c1", "sv",
+             "<html><body><p>Och att det som en av den med stora beslut."
+             "</p><p>Det har inte varit ett svar till han och jag.</p>"
+             "</body></html>"),
+            ("r", "b.txt", "c2", "sv",
+             "Och att det som en av den med andra beslut."),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    docs = P.docs_from_files(files, strip_html=True)
+    texts = [
+        r["text"]
+        for r in P.sentences(P.sentence_base(docs)).collect()
+    ]
+    assert any("stora beslut" in t for t in texts)
+    assert all("<" not in t for t in texts)
+    assert any("andra beslut" in t for t in texts)
