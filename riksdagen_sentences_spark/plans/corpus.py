@@ -22,6 +22,7 @@ from pyspark.sql.window import Window
 from .. import semantics as S
 from ..functions import columns as C
 from ..ids import uuid5_sql
+from ..sources import dims
 from . import pipeline as P
 
 # ---------------------------------------------------------------------------
@@ -1166,3 +1167,85 @@ WHERE floor(list_dot_product(a.v, b.v) /
     * 10000.0 + 0.5) / 10000.0 >= 0.2
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Remaining SURVEY §2 operator classes: D6 (word/page counts), Q2
+# (self-join with aliases), Q17 (size/metadata stats), Q19 (dim
+# enumeration)
+# ---------------------------------------------------------------------------
+
+# D6: count_words + equivalent_pages (words/450)
+# (reference models/document.py:56-84)
+_register(
+    "doc_word_page_counts",
+    lambda spark, sf: _read(spark, sf, "documents").select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), S.WS_SPLIT_RE), lambda w: w != "")
+        ).alias("word_count"),
+        (
+            F.size(
+                F.filter(
+                    F.split(F.col("text"), S.WS_SPLIT_RE), lambda w: w != ""
+                )
+            )
+            / F.lit(450)
+        ).cast("int").alias("equivalent_pages"),
+    ),
+    "SELECT doc_id, "
+    "len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS "
+    "word_count, "
+    "CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) "
+    "// 450 AS INTEGER) AS equivalent_pages FROM documents",
+)
+
+# Q2: self-join with aliases + theta condition (reference
+# sql/count_language_id_mismatches.sql joins `language` twice); here:
+# same-document sentence pairs in different detected languages.
+_register(
+    "cross_language_sentence_pairs",
+    lambda spark, sf: (
+        lambda s: s.alias("s1")
+        .join(
+            s.alias("s2"),
+            (F.col("s1.document_id") == F.col("s2.document_id"))
+            & (F.col("s1.lang") != F.col("s2.lang"))
+            & (F.col("s1.sentence_id") < F.col("s2.sentence_id")),
+        )
+        .agg(F.count("*").alias("n"))
+    )(_sentences(spark, sf)),
+    f"WITH {sentence_ctes()} SELECT COUNT(*) AS n FROM sentences s1 "
+    "JOIN sentences s2 ON s1.document_id = s2.document_id "
+    "AND s1.lang <> s2.lang AND s1.sentence_id < s2.sentence_id",
+)
+
+# Q17: catalog/metadata-style size stats (reference
+# sql/get_total_size_of_database.sql measures MB via information_schema;
+# the lake analog is row/byte accounting over the source table)
+_register(
+    "corpus_size_stats",
+    lambda spark, sf: _read(spark, sf, "documents").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.floor(
+            F.avg(F.length("text")) * 100.0 + F.lit(0.5)
+        ).cast("double").alias("avg_chars_x100"),
+    ),
+    "SELECT COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS total_chars, "
+    "CAST(floor(AVG(length(text)) * 100.0 + 0.5) AS DOUBLE) "
+    "AS avg_chars_x100 FROM documents",
+)
+
+# Q19: dimension enumeration (reference models/crud/read.py:320-328
+# enumerates iso codes / QIDs for API validation)
+_register(
+    "language_dim",
+    lambda spark, sf: dims.languages(spark),
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{iso}', '{name}', '{qid}')" for iso, name, qid in S.LANGUAGES
+    )
+    + ") AS t(iso_code, name_en, qid)",
+)
+

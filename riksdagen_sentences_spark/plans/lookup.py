@@ -28,6 +28,25 @@ def is_compound_token(token: str) -> bool:
     return " " in token
 
 
+def compound_token_without_syntactic_head(token: str, head: str) -> str:
+    """A4 string-subtraction helper (models/api/__init__.py:92-93)."""
+    return token.replace(head, "").strip()
+
+
+def validate_lookup_params(
+    token: str, category_qid: str, iso_code: str
+) -> None:
+    """A1 request validation against the dims (reference
+    models/api/__init__.py:239-251 + models/crud/read.py:320-328);
+    raises ValueError like the API's 400 responses."""
+    if not token:
+        raise ValueError("token must be non-empty")
+    if iso_code not in {lang[0] for lang in S.LANGUAGES}:
+        raise ValueError(f"unknown iso_language_code: {iso_code}")
+    if category_qid not in set(S.LEXICAL_CATEGORIES.values()):
+        raise ValueError(f"unknown lexical_category_qid: {category_qid}")
+
+
 def _postag_for_qid(qid: str) -> list[str]:
     return [t for t, q in S.LEXICAL_CATEGORIES.items() if q == qid]
 
