@@ -21,7 +21,7 @@ from pyspark.sql.window import Window
 
 from .. import semantics as S
 from ..functions import columns as C
-from ..ids import uuid5_sql
+from ..ids import uuid5_col, uuid5_sql
 from ..sources import dims
 from . import pipeline as P
 
@@ -1249,3 +1249,211 @@ _register(
     + ") AS t(iso_code, name_en, qid)",
 )
 
+
+
+# ---------------------------------------------------------------------------
+# File-by-file completion of the reference sql/ corpus (the remaining
+# direct analogues; lang='en' where the faithful 'sv' filter would be
+# empty on the driver testdata - both shapes exercised)
+# ---------------------------------------------------------------------------
+
+# all_swedish_sentences.sql -> full rows for a language
+_register(
+    "sentences_rows_en",
+    lambda spark, sf: _sentences(spark, sf)
+    .filter(F.col("lang") == "en")
+    .select("sentence_id", "text", "score"),
+    f"WITH {sentence_ctes()} SELECT sentence_id, text, score "
+    "FROM sentences WHERE lang = 'en'",
+)
+
+# all_swedish_rawtokens.sql -> full rawtoken rows for a language
+_register(
+    "rawtokens_rows_en",
+    lambda spark, sf: P.rawtokens(_tokens(spark, sf)).filter(
+        F.col("lang") == "en"
+    ),
+    f"WITH {sentence_ctes()}{token_ctes()} "
+    f"SELECT {uuid5_sql(chr(39) + 'rawtoken' + chr(39), 'text', 'pos', 'lang')} "
+    "AS rawtoken_id, text, pos AS postag, lang, MIN(score) AS score "
+    "FROM (SELECT raw AS text, pos, lang, score FROM token_flags "
+    "WHERE tok_accepted) WHERE lang = 'en' GROUP BY text, pos, lang",
+)
+
+# all_swedish_rawtokens_with_score_above_0.7.sql /
+# count_sv_rawtokens_with_score_above_0.7.sql (ROUND(value,2) > 0.7)
+_register(
+    "count_rawtokens_high_score",
+    lambda spark, sf: P.rawtokens(_tokens(spark, sf))
+    .filter(C.round_score_col(F.col("score")) > 0.7)
+    .agg(F.count("*").alias("n")),
+    f"WITH {sentence_ctes()}{token_ctes()} SELECT COUNT(*) AS n FROM ("
+    "SELECT text, pos, lang, MIN(score) AS score FROM (SELECT raw AS "
+    "text, pos, lang, score FROM token_flags WHERE tok_accepted) "
+    "GROUP BY text, pos, lang) "
+    f"WHERE {sql_round_score('score')} > 0.7",
+)
+
+# all_swedish_rawtokens_and_sentences.sql -> rawtoken x occursIn x
+# sentence rows
+_register(
+    "rawtokens_and_sentences",
+    lambda spark, sf: (
+        lambda toks: P.occurs_in_edges(toks)
+        .join(
+            P.rawtokens(toks).select(
+                F.col("rawtoken_id").alias("subj"),
+                F.col("text").alias("token_text"),
+            ),
+            "subj",
+        )
+        .join(
+            _sentences(spark, sf).select(
+                F.col("sentence_id").alias("obj"),
+                F.col("text").alias("sentence_text"),
+            ),
+            "obj",
+        )
+        .select("token_text", "sentence_text")
+        .dropDuplicates(["token_text", "sentence_text"])
+    )(_tokens(spark, sf)),
+    f"WITH {sentence_ctes()}{token_ctes()} "
+    "SELECT DISTINCT raw AS token_text, text AS sentence_text "
+    "FROM token_flags WHERE tok_accepted AND sent_accepted",
+)
+
+# count_all_rows_in_rawtoken_sentence_linking.sql
+_register(
+    "count_occursin_edges",
+    lambda spark, sf: P.occurs_in_edges(_tokens(spark, sf)).agg(
+        F.count("*").alias("n")
+    ),
+    f"WITH {sentence_ctes()}{token_ctes()} SELECT COUNT(*) AS n FROM ("
+    f"SELECT DISTINCT {_RID_FROM_TOK} AS subj, {_SID_FROM_TOK} AS obj "
+    "FROM token_flags WHERE tok_accepted AND sent_accepted)",
+)
+
+# count_sv_rawtoken_sentence_links.sql (language-filtered link count)
+_register(
+    "count_occursin_edges_en",
+    lambda spark, sf: _tokens(spark, sf)
+    .filter(
+        F.col("tok_accepted") & F.col("sent_accepted") & (F.col("lang") == "en")
+    )
+    .select(
+        uuid5_col(F.lit("rawtoken"), "raw", "pos", "lang").alias("subj"),
+        uuid5_col(F.lit("sentence"), "text", "document_id", "lang").alias("obj"),
+    )
+    .dropDuplicates(["subj", "obj"])
+    .agg(F.count("*").alias("n")),
+    f"WITH {sentence_ctes()}{token_ctes()} SELECT COUNT(*) AS n FROM ("
+    f"SELECT DISTINCT {_RID_FROM_TOK} AS subj, {_SID_FROM_TOK} AS obj "
+    "FROM token_flags WHERE tok_accepted AND sent_accepted "
+    "AND lang = 'en')",
+)
+
+# count_sv_rawtokens.sql
+_register(
+    "count_rawtokens_en",
+    lambda spark, sf: P.rawtokens(_tokens(spark, sf))
+    .filter(F.col("lang") == "en")
+    .agg(F.count("*").alias("n")),
+    f"WITH {sentence_ctes()}{token_ctes()} SELECT COUNT(*) AS n FROM ("
+    "SELECT DISTINCT raw, pos, lang FROM token_flags WHERE tok_accepted "
+    "AND lang = 'en')",
+)
+
+# count_sv_sentences_with_entity.sql (COUNT DISTINCT sentences)
+_register(
+    "count_sentences_with_entity",
+    lambda spark, sf: P.mention_edges(_sentences(spark, sf)).agg(
+        F.countDistinct("subj").alias("n")
+    ),
+    f"WITH {sentence_ctes()} SELECT COUNT(DISTINCT s.sentence_id) AS n "
+    f"FROM sentences s, {gazetteer_values()} "
+    "WHERE contains(' ' || lower(s.cleaned) || ' ', "
+    "' ' || g.label || ' ')",
+)
+
+# count_entities_in_sv_sentences.sql (SUM over grouped subquery)
+_register(
+    "count_entity_mentions_total",
+    lambda spark, sf: P.mention_edges(_sentences(spark, sf)).agg(
+        F.count("*").alias("n")
+    ),
+    f"WITH {sentence_ctes()} SELECT COUNT(*) AS n FROM "
+    "(SELECT DISTINCT s.sentence_id, g.label, g.ner_label FROM "
+    f"sentences s, {gazetteer_values()} "
+    "WHERE contains(' ' || lower(s.cleaned) || ' ', "
+    "' ' || g.label || ' '))",
+)
+
+# count_sv_rawtoken_links_by_category.sql (LINK counts per category)
+_register(
+    "occursin_counts_by_category",
+    lambda spark, sf: (
+        lambda toks: P.occurs_in_edges(toks)
+        .join(
+            P.rawtokens(toks).select(
+                F.col("rawtoken_id").alias("subj"), "postag"
+            ),
+            "subj",
+        )
+        .groupBy("postag")
+        .agg(F.count("*").alias("n"))
+    )(_tokens(spark, sf)),
+    f"WITH {sentence_ctes()}{token_ctes()} "
+    "SELECT pos AS postag, COUNT(*) AS n FROM ("
+    "SELECT DISTINCT raw, pos, lang, text, document_id "
+    "FROM token_flags WHERE tok_accepted AND sent_accepted) "
+    "GROUP BY pos",
+)
+
+# all_entities_found_in_document_id_55.sql (point filter on a document)
+_register(
+    "entities_for_document_0",
+    lambda spark, sf: P.mention_edges(_sentences(spark, sf))
+    .join(
+        _sentences(spark, sf).select(
+            F.col("sentence_id").alias("subj"), "document_id"
+        ),
+        "subj",
+    )
+    .filter(F.col("document_id") == "0")
+    .select(F.col("obj").alias("entity_id"))
+    .dropDuplicates(["entity_id"]),
+    f"WITH {sentence_ctes()} SELECT DISTINCT "
+    f"{uuid5_sql(chr(39) + 'entity' + chr(39), 'label', 'ner_label')} AS "
+    f"entity_id FROM sentences s, {gazetteer_values()} "
+    "WHERE s.document_id = '0' AND contains(' ' || lower(s.cleaned) || "
+    "' ', ' ' || g.label || ' ')",
+)
+
+# get_rawtoken_id_for_simple_token.sql (Q15 point lookup by secondary key)
+_register(
+    "rawtoken_id_point_lookup",
+    lambda spark, sf: P.rawtokens(_tokens(spark, sf))
+    .filter(
+        (F.col("text") == "scan")
+        & (F.col("postag") == "NOUN")
+        & (F.col("lang") == "en")
+    )
+    .select("rawtoken_id"),
+    f"WITH {sentence_ctes()}{token_ctes()} SELECT DISTINCT "
+    f"{_RID_FROM_TOK} AS rawtoken_id FROM token_flags "
+    "WHERE tok_accepted AND raw = 'scan' AND pos = 'NOUN' "
+    "AND lang = 'en'",
+)
+
+# all_swedish_sentences_that_match_a_string_case_insensitive.sql
+_register(
+    "sentences_matching_string_ci",
+    lambda spark, sf: _sentences(spark, sf)
+    .filter(
+        (F.col("lang") == "en")
+        & F.lower(F.col("text")).contains(" merge ")
+    )
+    .select("sentence_id", "text"),
+    f"WITH {sentence_ctes()} SELECT sentence_id, text FROM sentences "
+    "WHERE lang = 'en' AND contains(lower(text), ' merge ')",
+)

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .. import checkpoint as CK
@@ -109,23 +109,32 @@ def run_incremental(
         part = bucketed.filter(F.col("bucket") == int(bucket)).drop(
             "bucket"
         )
-        rows_in = part.count()
-        fingerprint = CK.lineage_fingerprint(part)
+        # one job for both input metrics (count + xor-fold fingerprint)
+        in_row = part.agg(
+            F.count(F.lit(1)).alias("rows_in"),
+            F.expr(
+                "conv(cast(bit_xor(cast(conv(substring(sha2(content, 256)"
+                ", 1, 15), 16, 10) as long)) as string), 10, 16)"
+            ).alias("fp"),
+        ).first()
         tables = build_all_tables(spark, part)
         metrics: dict = {
-            "rows_in": rows_in,
-            "input_fingerprint": fingerprint,
+            "rows_in": in_row["rows_in"],
+            "input_fingerprint": in_row["fp"],
         }
         for name, df in tables.items():
-            out = df.withColumn("bucket", F.lit(int(bucket)))
+            # output row counts ride on the write action itself via
+            # observe() - no read-back count job per table
+            obs = Observation()
+            out = df.withColumn("bucket", F.lit(int(bucket))).observe(
+                obs, F.count(F.lit(1)).alias("rows")
+            )
             (
                 out.write.mode("overwrite")
                 .partitionBy("bucket")
                 .parquet(f"{out_dir}/{name}")
             )
-            metrics[f"{name}_rows"] = spark.read.parquet(
-                f"{out_dir}/{name}"
-            ).filter(F.col("bucket") == int(bucket)).count()
+            metrics[f"{name}_rows"] = obs.get["rows"]
         metrics["seconds"] = round(time.time() - t0, 3)
         CK.record_partition(out_dir, bucket, metrics)
         processed.append(bucket)
