@@ -26,7 +26,10 @@ _pp = os.environ.get("PYTHONPATH", "")
 if REPO not in _pp.split(os.pathsep):
     os.environ["PYTHONPATH"] = REPO + (os.pathsep + _pp if _pp else "")
 
-LEVELS = (8, 32)
+LEVELS = tuple(
+    int(x)
+    for x in os.environ.get("SPARK_SCALING_LEVELS", "8,32").split(",")
+)
 MEASURE_ITERS = 3
 
 
