@@ -23,12 +23,38 @@ if _REPO not in _pp.split(os.pathsep):
     os.environ["PYTHONPATH"] = _REPO + (os.pathsep + _pp if _pp else "")
 
 
+def _ensure_workers(spark: SparkSession) -> None:
+    """Make the package importable by Python workers even when the
+    driver built its SparkSession before importing this module (the
+    PYTHONPATH export above only helps workers spawned after import).
+    addPyFile distributes a zip of the package to already-running
+    executors - the local equivalent of spark-submit --py-files."""
+    import zipfile
+
+    zpath = "/tmp/riksdagen_sentences_spark_pkg.zip"
+    if not os.path.exists(zpath):
+        pkg = os.path.join(_REPO, "riksdagen_sentences_spark")
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for root, _dirs, fns in os.walk(pkg):
+                for fn in fns:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        z.write(full, os.path.relpath(full, _REPO))
+        os.replace(tmp, zpath)
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # already registered in this context
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full six-predicate triple graph on sf0.001 documents."""
     from pyspark.sql import functions as F
 
     from riksdagen_sentences_spark.plans import pipeline as P
 
+    _ensure_workers(spark)
     docs = P.docs_from_documents(
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     )
@@ -43,7 +69,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from riksdagen_sentences_spark.plans import corpus
 
-    return dict(corpus.QUERIES)
+    def _wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_workers(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: _wrap(fn) for name, fn in corpus.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
