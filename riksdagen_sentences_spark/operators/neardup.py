@@ -50,6 +50,35 @@ def shingles_col(text: Column, k: int = SHINGLE_K) -> Column:
     )
 
 
+def _doc_shingles_fast(docs: DataFrame, text_col: str) -> DataFrame:
+    """Distinct (doc_id, shingle) via posexplode + window lead - fully
+    whole-stage-codegen (the array-HOF formulation in shingles_col is
+    interpreted and ~4x slower; it remains as the per-row API and the
+    semantics spec).  Shuffles once by doc_id for the window, which is
+    the linear, skew-free shape at scale."""
+    from pyspark.sql.window import Window
+
+    w = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.split(normalized_text_col(F.col(text_col)), " ")
+            ).alias("pos", "w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("w", i).over(win) for i in range(1, SHINGLE_K)]
+    shingle = F.when(
+        leads[-1].isNotNull(), F.concat_ws(" ", F.col("w"), *leads)
+    )
+    return (
+        w.select("doc_id", shingle.alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+
+
 def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (post-normalization) documents."""
     return (
@@ -65,9 +94,7 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _doc_shingles(docs: DataFrame, text_col: str) -> DataFrame:
-    return docs.select(
-        "doc_id", F.explode(shingles_col(F.col(text_col))).alias("shingle")
-    )
+    return _doc_shingles_fast(docs, text_col)
 
 
 def ngram_jaccard_pairs(
@@ -114,30 +141,28 @@ def ngram_jaccard_pairs(
     return j.select("doc_a", "doc_b", "jaccard")
 
 
-def _hasher(prefix: str):
-    # closure factory: a default-arg lambda would make Spark treat the
-    # extra parameter as the element-index argument of transform()
-    return lambda x: F.md5(F.concat(F.lit(prefix), x))
-
-
-def minhash_signature_cols(sh: Column) -> list[Column]:
-    """One min-hash per seed: min over md5(seed || ':' || shingle).
-    ``sh`` must be a materialized shingle-array column (compute it once
-    with withColumn - HOF subtrees are not CSE'd, so referencing
-    shingles_col() 8x would evaluate the shingler 8x per row)."""
-    return [
-        F.array_min(F.transform(sh, _hasher(f"{seed}:"))).alias(f"mh{seed}")
-        for seed in range(MINHASH_SEEDS)
-    ]
-
-
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:
-    with_sh = docs.withColumn("__sh", shingles_col(F.col(text_col)))
-    return with_sh.select(
-        "doc_id", *minhash_signature_cols(F.col("__sh"))
-    )
+    """Per-seed min over md5(seed || ':' || shingle).
+
+    Formulated as explode -> hash-aggregate rather than per-row
+    higher-order functions: HOF expressions are interpreted (no
+    whole-stage codegen), so 8 transform/array_min passes per row cost
+    ~4x more than one codegen'd MIN aggregation over exploded shingles -
+    and the explode+partial-agg shape is also the one that scales
+    (map-side combine, no giant per-row arrays).  Docs with no shingles
+    (< k words) are re-attached with NULL signatures to preserve the
+    row-per-doc contract."""
+    sh = _doc_shingles_fast(docs, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(
+            f"mh{s}"
+        )
+        for s in range(MINHASH_SEEDS)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return docs.select("doc_id").join(sig, "doc_id", "left")
 
 
 def lsh_candidate_pairs(
@@ -167,11 +192,15 @@ def lsh_candidate_pairs(
         ]
     )
     # one pass over the signatures: explode the band array instead of a
-    # 4-way union that would recompute the shingler per branch
+    # 4-way union that would recompute the shingler per branch; persist
+    # because the self-join consumes the band table twice
     all_bands = (
         sig.filter(F.col("mh0").isNotNull())
         .select("doc_id", F.explode(band_keys).alias("band_key"))
+        .persist()
     )
+    all_bands.count()  # eager: both self-join sides must hit the cache,
+    # not race to compute the signature lineage twice
     a = all_bands.alias("a")
     b = all_bands.alias("b")
     return (
@@ -188,31 +217,40 @@ def lsh_candidate_pairs(
 _HEX = "0123456789abcdef"
 
 
-def simhash_bits_col(hashes: Column) -> Column:
-    """SimHash from a materialized md5-array column: dimension j uses hex
-    digit j; digit >= 8 votes +1 else -1; bit j = (sum > 0).  Returns the
-    fingerprint as a SIMHASH_BITS-char '0'/'1' string."""
-
-    def _voter(pos: int):
-        return lambda h: F.when(
-            F.upper(F.substring(h, pos, 1)).isin(*"89ABCDEF"), F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    bits = []
-    for j in range(SIMHASH_BITS):
-        votes = F.transform(hashes, _voter(j + 1))
-        total = F.aggregate(votes, F.lit(0), lambda acc, x: acc + x)
-        bits.append(F.when(total > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
-
-
 def simhash_fingerprints(
     docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:
-    # materialize the token-hash array once (HOF subtrees are not CSE'd)
-    with_hashes = docs.withColumn(
-        "__h", F.transform(words_col(F.col(text_col)), lambda x: F.md5(x))
+    """SimHash over word tokens: dimension j uses hex digit j of
+    md5(word); digit >= 8 votes +1 else -1; bit j = (sum > 0).
+
+    Same explode -> codegen'd SUM aggregation shape as MinHash (per-row
+    HOF voting is interpreted and ~10x slower).  Docs with no words get
+    the all-zero fingerprint (matching the HOF formulation where every
+    dimension sums to 0)."""
+    toks = docs.select(
+        "doc_id", F.explode(words_col(F.col(text_col))).alias("w")
+    ).select("doc_id", F.md5("w").alias("h"))
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.upper(F.substring("h", j + 1, 1)).isin(*"89ABCDEF"),
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
     )
-    return with_hashes.select(
-        "doc_id", simhash_bits_col(F.col("__h")).alias("simhash")
+    bits = F.concat(
+        *[
+            F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sig = sums.select("doc_id", bits.alias("simhash"))
+    return docs.select("doc_id").join(sig, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("simhash"), F.lit("0" * SIMHASH_BITS)).alias(
+            "simhash"
+        ),
     )

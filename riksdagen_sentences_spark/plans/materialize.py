@@ -34,19 +34,20 @@ def build_all_tables(
     base = P.sentence_base(docs).persist()
     sents = P.sentences(base).persist()
     toks = P.token_base(base)
+    mentions = P.mention_rows(sents)  # one gazetteer-UDF pass
     triples = (
         P.part_of_edges(sents)
         .unionByName(P.has_text_edges(sents))
         .unionByName(P.occurs_in_edges(toks))
         .unionByName(P.normalizes_to_edges(toks))
-        .unionByName(P.mention_edges(sents))
+        .unionByName(P.mention_edges(sents, mentions))
         .unionByName(P.links_to_edges(toks, spark))
     )
     return {
         "sentences": sents,
         "rawtokens": P.rawtokens(toks),
         "normtokens": P.normtokens(toks),
-        "entities": P.entities(sents),
+        "entities": P.entities(sents, mentions),
         "triples": triples,
     }
 

@@ -206,27 +206,37 @@ def normtokens(token_base_df: DataFrame) -> DataFrame:
     )
 
 
-def entities(sentences_df: DataFrame) -> DataFrame:
-    """Canonical entities: UNIQUE(label, ner_label) via gazetteer UDF
-    (reference models/entity.py:36-48, models/entities.py:21-27)."""
-    mentions = sentences_df.select(
-        F.explode(U.ner_udf(F.col("cleaned"))).alias("e")
-    ).select("e.label", "e.ner_label")
-    return mentions.dropDuplicates(["label", "ner_label"]).select(
+def mention_rows(sentences_df: DataFrame) -> DataFrame:
+    """One gazetteer-UDF pass: (sentence_id, label, ner_label), set-
+    deduped per sentence (reference models/entity.py:14-18,
+    models/entities.py:14,21-27).  ``entities`` and ``mention_edges``
+    both derive from this frame so the Python kernel runs once."""
+    m = sentences_df.select(
+        "sentence_id", F.explode(U.ner_udf(F.col("cleaned"))).alias("e")
+    ).select("sentence_id", "e.label", "e.ner_label")
+    return m.dropDuplicates(["sentence_id", "label", "ner_label"])
+
+
+def entities(sentences_df: DataFrame, mentions_df: DataFrame | None = None) -> DataFrame:
+    """Canonical entities: UNIQUE(label, ner_label)
+    (reference models/entity.py:36-48)."""
+    m = mentions_df if mentions_df is not None else mention_rows(sentences_df)
+    return m.select("label", "ner_label").dropDuplicates(
+        ["label", "ner_label"]
+    ).select(
         uuid5_col(F.lit("entity"), "label", "ner_label").alias("entity_id"),
         "label",
         "ner_label",
     )
 
 
-def mention_edges(sentences_df: DataFrame) -> DataFrame:
+def mention_edges(
+    sentences_df: DataFrame, mentions_df: DataFrame | None = None
+) -> DataFrame:
     """(sentence, mentions, entity) triples (reference
-    models/entities.py:29-44, create.py:106-113; set-dedup per sentence
-    models/entity.py:14-18)."""
-    m = sentences_df.select(
-        "sentence_id", F.explode(U.ner_udf(F.col("cleaned"))).alias("e")
-    ).select("sentence_id", "e.label", "e.ner_label")
-    return m.dropDuplicates(["sentence_id", "label", "ner_label"]).select(
+    models/entities.py:29-44, create.py:106-113)."""
+    m = mentions_df if mentions_df is not None else mention_rows(sentences_df)
+    return m.select(
         F.col("sentence_id").alias("subj"),
         F.lit(S.PRED_MENTIONS).alias("pred"),
         uuid5_col(F.lit("entity"), "label", "ner_label").alias("obj"),
