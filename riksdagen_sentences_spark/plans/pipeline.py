@@ -67,12 +67,18 @@ def docs_from_documents(documents: DataFrame) -> DataFrame:
     )
 
 
-def sentence_base(docs: DataFrame, use_udf_langid: bool = True) -> DataFrame:
+def sentence_base(docs: DataFrame, use_udf_langid: bool = False) -> DataFrame:
     """documents -> one row per detected sentence with cleaning + langid.
 
     Reference lifecycle models/document.py:172-200 + models/sentence.py:
     111-131: sentences with empty cleaned text or exactly one clean word
     never reach token analysis or insertion, so they are dropped here.
+
+    Language detection defaults to the pure-JVM column expression
+    (columns.langid_cols) - measured ~1.4x faster than the Arrow UDF and
+    bit-identical (tests/test_columns.py::test_langid_cols); the pandas
+    UDF variant (use_udf_langid=True) stays as the fasttext-style batch
+    kernel and is exercised in tests.
 
     Columns: document_id, sent_idx, text, cleaned, word_count, lang, score
     """
@@ -318,7 +324,7 @@ def has_text_edges(sentences_df: DataFrame) -> DataFrame:
 def triples(
     spark: SparkSession,
     docs: DataFrame,
-    use_udf_langid: bool = True,
+    use_udf_langid: bool = False,
     cache: bool = True,
 ) -> DataFrame:
     """The full graph as one (subj, pred, obj) DataFrame.

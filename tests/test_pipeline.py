@@ -209,3 +209,21 @@ def test_linksto_edges_match_dictionary(spark, docs_df):
     for e in edges:
         form, lang = forms[e["obj"]]
         assert by_id[e["subj"]] == (normalize_token(form), lang)
+
+
+def test_langid_udf_and_jvm_paths_identical(spark, docs_df):
+    """The Arrow-UDF langid variant and the JVM column default must
+    produce identical sentence sets."""
+    a = {
+        tuple(r)
+        for r in P.sentences(
+            P.sentence_base(docs_df, use_udf_langid=True)
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in P.sentences(
+            P.sentence_base(docs_df, use_udf_langid=False)
+        ).collect()
+    }
+    assert a == b
