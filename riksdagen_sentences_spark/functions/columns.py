@@ -16,6 +16,15 @@ from pyspark.sql import functions as F
 
 from .. import semantics as S
 
+# ASCII-whitespace edge trim - the Column twin of kernels.text.ascii_strip
+# (F.trim strips only 0x20 spaces; Python .strip() strips unicode; Java
+# regex \s is the exact middle ground all three implementations share)
+_EDGE_WS_RE = r"^\s+|\s+$"
+
+
+def ascii_trim_col(c: Column) -> Column:
+    return F.regexp_replace(c, _EDGE_WS_RE, "")
+
 
 def _nonempty_nondigit(w: Column) -> Column:
     return (w != "") & ~w.rlike(S.DIGIT_RE)
@@ -49,7 +58,7 @@ def split_sentences_col(text: Column) -> Column:
     >100k-char documents and lives in the pandas UDF path)."""
     marked = F.regexp_replace(text, S.SENT_BOUNDARY_RE, "$1" + S.SENT_SENTINEL)
     parts = F.transform(
-        F.split(marked, S.SENT_SENTINEL), lambda p: F.trim(p)
+        F.split(marked, S.SENT_SENTINEL), lambda p: ascii_trim_col(p)
     )
     return F.filter(parts, lambda p: p != "")
 
@@ -57,18 +66,20 @@ def split_sentences_col(text: Column) -> Column:
 def clean_token_col(raw: Column) -> Column:
     """kernels.text.clean_token (reference models/token.py:100-118)."""
     return F.regexp_replace(
-        F.trim(F.regexp_replace(raw, S.TOKEN_STRIP_RE, "")), S.DIGIT_RE, ""
+        ascii_trim_col(F.regexp_replace(raw, S.TOKEN_STRIP_RE, "")),
+        S.DIGIT_RE,
+        "",
     )
 
 
 def normalize_token_col(raw: Column) -> Column:
     """kernels.text.normalize_token (reference models/token.py:74-77)."""
-    return F.lower(F.trim(raw))
+    return F.lower(ascii_trim_col(raw))
 
 
 def pos_tag_col(raw: Column) -> Column:
     """kernels.pos.pos_tag as a CASE chain (first match wins)."""
-    t = F.trim(raw)
+    t = ascii_trim_col(raw)
     closed = F.create_map(
         *[F.lit(x) for kv in S.CLOSED_CLASS.items() for x in kv]
     )

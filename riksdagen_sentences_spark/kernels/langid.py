@@ -35,7 +35,9 @@ def round_score(x: float) -> float:
 def detect_language(cleaned_sentence: str) -> tuple[str, float]:
     """Return (iso_code, score) for a CLEANED sentence; ('und', 0.0) when
     empty or no stop word matches."""
-    words = cleaned_sentence.lower().split()
+    from .text import ascii_words
+
+    words = ascii_words(cleaned_sentence.lower())
     if not words:
         return (S.UND_LANG, 0.0)
     best_lang = S.UND_LANG

@@ -12,13 +12,15 @@ import re
 
 from .. import semantics as S
 
-_DIGIT = re.compile(S.DIGIT_RE)
+_DIGIT = re.compile(S.DIGIT_RE, re.ASCII)
 _UNACCEPTED = re.compile(S.UNACCEPTED_CHARS_RE)
 _PUNCT_SET = set(S.PUNCT_CHARS) | {S.EN_DASH}
 
 
 def pos_tag(raw_token: str) -> str:
-    t = raw_token.strip()
+    from .text import ascii_strip
+
+    t = ascii_strip(raw_token)
     if not t:
         return "SPACE"
     if _UNACCEPTED.search(t):

@@ -14,7 +14,7 @@ import re
 from .. import semantics as S
 from .text import clean_toc
 
-_BOUNDARY = re.compile(S.SENT_BOUNDARY_RE)
+_BOUNDARY = re.compile(S.SENT_BOUNDARY_RE, re.ASCII)
 
 
 def chunk_text(text: str, chunk_size: int = S.CHUNK_SIZE) -> list[str]:
@@ -41,8 +41,14 @@ def split_sentences(chunk: str) -> list[str]:
     """Punkt-style boundary split: rewrite ``[.!?]\\s+`` boundaries to a
     sentinel, split, strip, drop empties.  The terminating punctuation
     char stays attached to its sentence."""
+    from .text import ascii_strip
+
     marked = _BOUNDARY.sub(r"\1" + S.SENT_SENTINEL, chunk)
-    return [s for s in (p.strip() for p in marked.split(S.SENT_SENTINEL)) if s]
+    return [
+        s
+        for s in (ascii_strip(p) for p in marked.split(S.SENT_SENTINEL))
+        if s
+    ]
 
 
 def sentenize_document(text: str) -> list[str]:

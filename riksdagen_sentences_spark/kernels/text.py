@@ -17,11 +17,27 @@ import re
 
 from .. import semantics as S
 
-_SENT_STRIP = re.compile(S.SENTENCE_STRIP_RE)
-_TOKEN_STRIP = re.compile(S.TOKEN_STRIP_RE)
-_DIGIT = re.compile(S.DIGIT_RE)
+# re.ASCII everywhere: Python's \s and \d are unicode-aware by default,
+# but Java regex (Spark) and RE2 (DuckDB) default to ASCII classes - the
+# three implementations must agree on exotic whitespace/digits.
+_SENT_STRIP = re.compile(S.SENTENCE_STRIP_RE, re.ASCII)
+_TOKEN_STRIP = re.compile(S.TOKEN_STRIP_RE, re.ASCII)
+_DIGIT = re.compile(S.DIGIT_RE, re.ASCII)
 _UNACCEPTED = re.compile(S.UNACCEPTED_CHARS_RE)
+_WS = re.compile(S.WS_SPLIT_RE, re.ASCII)
+_EDGE_WS = re.compile(r"^\s+|\s+$", re.ASCII)
 _PUNCT_SET = set(S.PUNCT_CHARS) | {S.EN_DASH}
+
+
+def ascii_strip(s: str) -> str:
+    r"""strip() limited to ASCII whitespace [ \t\n\x0b\f\r] - the
+    exact set Java regex \s and F.trim-equivalent expressions see."""
+    return _EDGE_WS.sub("", s)
+
+
+def ascii_words(s: str) -> list[str]:
+    """split on ASCII whitespace, dropping empties (str.split() twin)."""
+    return [w for w in _WS.split(s) if w]
 
 
 def clean_sentence(text: str) -> str:
@@ -30,7 +46,7 @@ def clean_sentence(text: str) -> str:
     Strip punctuation + en-dash, then drop words containing digits.
     """
     stripped = _SENT_STRIP.sub("", text)
-    words = [w for w in stripped.split() if not _DIGIT.search(w)]
+    words = [w for w in ascii_words(stripped) if not _DIGIT.search(w)]
     return " ".join(words)
 
 
@@ -53,12 +69,12 @@ def clean_toc(chunk: str) -> str:
 
 def clean_token(raw: str) -> str:
     """Token cleaning per reference models/token.py:100-118."""
-    return _DIGIT.sub("", _TOKEN_STRIP.sub("", raw).strip())
+    return _DIGIT.sub("", ascii_strip(_TOKEN_STRIP.sub("", raw)))
 
 
 def normalize_token(raw: str) -> str:
     """strip().lower(); punctuation kept (reference models/token.py:74-77)."""
-    return raw.strip().lower()
+    return ascii_strip(raw).lower()
 
 
 def is_accepted_token(raw: str, pos: str, sentence_lang: str) -> bool:
@@ -77,7 +93,7 @@ def is_accepted_token(raw: str, pos: str, sentence_lang: str) -> bool:
 def tokenize(sentence: str) -> list[str]:
     """Whitespace word tokenizer (engine replacement for spaCy tokens,
     reference models/sentence.py:172-181)."""
-    return sentence.split()
+    return ascii_words(sentence)
 
 
 _TAG_RE = re.compile(r"<[^>]+>")

@@ -29,17 +29,18 @@ from . import pipeline as P
 # DuckDB SQL fragment generators (one per semantics rule)
 # ---------------------------------------------------------------------------
 
-TRIM_CHARS = "' ' || chr(9) || chr(10) || chr(13)"
+TRIM_CHARS = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
 
 
 def sql_clean_sentence(expr: str) -> str:
     """kernels.text.clean_sentence in DuckDB."""
     stripped = f"regexp_replace({expr}, '[!-/:-@\\[-`{{-~–]', '', 'g')"
     words = (
-        f"list_filter(string_split_regex({stripped}, '\\s+'), "
+        f"list_filter(string_split_regex({stripped}, '[\\t\\n\\f\\r\\x0B ]+'), "
         f"w -> w <> '' AND NOT regexp_matches(w, '[0-9]'))"
     )
-    return f"array_to_string({words}, ' ')"
+    # DuckDB's array_to_string([]) is NULL where Spark's array_join is ''
+    return f"COALESCE(array_to_string({words}, ' '), '')"
 
 
 def sql_word_count(cleaned: str) -> str:
@@ -83,7 +84,7 @@ def sql_langid_select(cleaned: str) -> tuple[str, str]:
 def sql_clean_token(raw: str) -> str:
     return (
         f"regexp_replace(trim(regexp_replace({raw}, '[\\r:,.()\\-/–]', '', "
-        f"'g')), '[0-9]', '', 'g')"
+        f"'g'), {TRIM_CHARS}), '[0-9]', '', 'g')"
     )
 
 
@@ -92,12 +93,12 @@ def sql_pos_tag(raw: str) -> str:
         f"WHEN '{w}' THEN '{t}'" for w, t in S.CLOSED_CLASS.items()
     )
     return (
-        f"CASE WHEN trim({raw}) = '' THEN 'SPACE' "
-        f"WHEN regexp_matches(trim({raw}), '[¶¤¥~$€|]') THEN 'SYM' "
-        f"WHEN regexp_matches(trim({raw}), '^[!-/:-@\\[-`{{-~–]+$') "
+        f"CASE WHEN trim({raw}, {TRIM_CHARS}) = '' THEN 'SPACE' "
+        f"WHEN regexp_matches(trim({raw}, {TRIM_CHARS}), '[¶¤¥~$€|]') THEN 'SYM' "
+        f"WHEN regexp_matches(trim({raw}, {TRIM_CHARS}), '^[!-/:-@\\[-`{{-~–]+$') "
         f"THEN 'PUNCT' "
-        f"WHEN regexp_matches(trim({raw}), '[0-9]') THEN 'NUM' "
-        f"ELSE (CASE lower(trim({raw})) {closed} ELSE 'NOUN' END) END"
+        f"WHEN regexp_matches(trim({raw}, {TRIM_CHARS}), '[0-9]') THEN 'NUM' "
+        f"ELSE (CASE lower(trim({raw}, {TRIM_CHARS})) {closed} ELSE 'NOUN' END) END"
     )
 
 
@@ -138,7 +139,7 @@ __toc AS (
 __marked AS (
   SELECT document_id,
          string_split(
-           regexp_replace(t, '([.!?])\\s+', '\\1' || chr(1), 'g'),
+           regexp_replace(t, '([.!?])[\\t\\n\\f\\r\\x0B ]+', '\\1' || chr(1), 'g'),
            chr(1)) AS arr
   FROM __marked_src
 ),
@@ -192,8 +193,8 @@ def token_ctes() -> str:
     return f""",
 __tok_exploded AS (
   SELECT document_id, sent_idx, text, lang, score, word_count,
-         unnest(string_split_regex(text, '\\s+')) AS raw,
-         unnest(range(0, len(string_split_regex(text, '\\s+')))) AS tok_idx
+         unnest(string_split_regex(text, '[\\t\\n\\f\\r\\x0B ]+')) AS raw,
+         unnest(range(0, len(string_split_regex(text, '[\\t\\n\\f\\r\\x0B ]+')))) AS tok_idx
   FROM sent_base
 ),
 __tok1 AS (
@@ -202,7 +203,7 @@ __tok1 AS (
 token_base AS (
   SELECT *,
          {sql_clean_token('raw')} AS cleaned_tok,
-         lower(trim(raw)) AS norm,
+         lower(trim(raw, {TRIM_CHARS})) AS norm,
          {pos} AS pos
   FROM __tok1
 ),
@@ -881,7 +882,7 @@ from ..operators import similarity as SIM  # noqa: E402
 from ..operators import textstats as TS  # noqa: E402
 
 _NORM_SQL = (
-    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), "
+    "trim(regexp_replace(lower(text), '[\\t\\n\\f\\r\\x0B ]+', ' ', 'g'), "
     + TRIM_CHARS
     + ")"
 )
@@ -899,7 +900,7 @@ _register(
     f"""
 WITH base AS (
   SELECT doc_id,
-    len(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))
+    len(list_filter(string_split_regex(text, '[\\t\\n\\f\\r\\x0B ]+'), w -> w <> ''))
       AS ws_tokens,
     len(regexp_extract_all(text, '{TS.BPE_RE}')) AS bpe_tokens,
     length(text) AS n_chars,
@@ -914,7 +915,7 @@ ratios AS (
       n_chars * 10000.0 + 0.5) / 10000.0 END AS punct_ratio,
     CASE WHEN ws_tokens = 0 THEN 0.0 ELSE floor(
       CAST(len(list_filter(list_filter(string_split_regex(lower(text),
-      '\\s+'), w -> w <> ''), w -> w IN ({", ".join(f"{chr(39)}{w}{chr(39)}" for w in TS.STOPWORDS_ALL)})))
+      '[\\t\\n\\f\\r\\x0B ]+'), w -> w <> ''), w -> w IN ({", ".join(f"{chr(39)}{w}{chr(39)}" for w in TS.STOPWORDS_ALL)})))
       AS DOUBLE) / ws_tokens * 10000.0 + 0.5) / 10000.0 END
       AS stopword_ratio
   FROM base
@@ -1194,9 +1195,9 @@ _register(
         ).cast("int").alias("equivalent_pages"),
     ),
     "SELECT doc_id, "
-    "len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS "
+    "len(list_filter(string_split_regex(text, '[\\t\\n\\f\\r\\x0B ]+'), w -> w <> '')) AS "
     "word_count, "
-    "CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) "
+    "CAST(len(list_filter(string_split_regex(text, '[\\t\\n\\f\\r\\x0B ]+'), w -> w <> '')) "
     "// 450 AS INTEGER) AS equivalent_pages FROM documents",
 )
 
