@@ -16,9 +16,10 @@ Stage map (reference file:line in each function's docstring):
         ├─► entities + mentions edges (gazetteer pandas UDF)
         └─► triples = union of all edges
 
-Only three operators run Python (Arrow-batched pandas UDFs): the
-sentenizer, the language scorer and the gazetteer NER - everything else
-is whole-stage-codegen column expressions.
+Only two operators run Python by default (Arrow-batched pandas UDFs):
+the sentenizer and the gazetteer NER - everything else, including
+language detection, is whole-stage-codegen column expressions (the
+langid pandas UDF remains available and bit-identical).
 """
 
 from __future__ import annotations
@@ -262,7 +263,7 @@ def occurs_in_edges(token_base_df: DataFrame) -> DataFrame:
             "obj"
         ),
     )
-    return edges.dropDuplicates(["subj", "obj"])
+    return edges.dropDuplicates(["subj", "pred", "obj"])
 
 
 def normalizes_to_edges(token_base_df: DataFrame) -> DataFrame:
@@ -274,7 +275,7 @@ def normalizes_to_edges(token_base_df: DataFrame) -> DataFrame:
         F.lit(S.PRED_NORMALIZES_TO).alias("pred"),
         uuid5_col(F.lit("normtoken"), "norm").alias("obj"),
     )
-    return edges.dropDuplicates(["subj", "obj"])
+    return edges.dropDuplicates(["subj", "pred", "obj"])
 
 
 def links_to_edges(
@@ -299,7 +300,7 @@ def links_to_edges(
         F.lit(S.PRED_LINKS_TO).alias("pred"),
         lex["lexeme_id"].alias("obj"),
     )
-    return edges.dropDuplicates(["subj", "obj"])
+    return edges.dropDuplicates(["subj", "pred", "obj"])
 
 
 def part_of_edges(sentences_df: DataFrame) -> DataFrame:
