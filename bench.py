@@ -113,6 +113,29 @@ def main() -> None:
 
     timed("revenue_by_nation", q_revenue)
 
+    # q7: north-rule throughput at a size where compute dominates fixed
+    # stage overhead (the sf0.1 documents table is only ~5k rows) -
+    # deterministic synthetic files table, generated once and cached
+    synth_path = "/tmp/bench_synth_100k"
+    if not os.path.isdir(synth_path):
+        from riksdagen_sentences_spark.sources.synth import files_table
+
+        files_table(spark, n_rows=100_000, seed=42).repartition(
+            64
+        ).write.mode("overwrite").parquet(synth_path)
+
+    def q_synth():
+        sdocs = P.docs_from_files(spark.read.parquet(synth_path))
+        n = P.triples(spark, sdocs, cache=True).count()
+        extras["triples_synth_100k"] = n
+        spark.catalog.clearCache()
+
+    timed("triples_synth_100k", q_synth)
+    if timings["triples_synth_100k"] > 0:
+        extras["synth_triples_per_sec"] = round(
+            extras["triples_synth_100k"] / timings["triples_synth_100k"], 1
+        )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -58,6 +58,54 @@ def stream_files_to_graph(
     return writer.start()
 
 
+def streaming_first_seen(
+    stream_df: DataFrame,
+    key_col: str,
+):
+    """Custom stateful operator: emit each key's row only the FIRST time
+    it is ever seen across ALL micro-batches (keyed state via
+    applyInPandasWithState) - the streaming equivalent of the
+    reference's get-or-insert uniqueness probes
+    (/root/reference/models/crud/read.py:233-318).
+
+    The deterministic content-hash ids make this exactly the semantics
+    of the batch dedup: re-delivered or duplicated documents yield
+    id-identical rows, and the state (one boolean per key) suppresses
+    them forever after.  State size = one entry per distinct key -
+    partitioned by key across executors, the same scale shape as the
+    batch groupBy.
+    """
+    import pandas as pd  # noqa: F811
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    schema = stream_df.schema
+
+    def first_seen(key, pdfs, state: GroupState):
+        if state.exists:
+            # key already emitted in an earlier batch - consume and drop
+            for _ in pdfs:
+                pass
+            return
+        first_row = None
+        for pdf in pdfs:
+            if len(pdf) and first_row is None:
+                first_row = pdf.iloc[[0]]
+        state.update((True,))
+        if first_row is not None:
+            yield first_row
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        first_seen,
+        outputStructType=schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window_duration: str = "10 minutes",

@@ -81,3 +81,51 @@ def test_frame_sample_plan(spark):
     rows = frames.groupBy("media_id").count().collect()
     vids = media.filter(F.col("kind") == "video").count()
     assert len(rows) == vids
+
+
+def test_streaming_first_seen_dedups_across_batches(spark, tmp_path):
+    """Keyed state survives across micro-batches AND across query
+    restarts (state store in the checkpoint): a sentence id delivered
+    again in a later batch is not re-emitted."""
+    from riksdagen_sentences_spark.streaming.incremental import (
+        streaming_first_seen,
+    )
+
+    indir = str(tmp_path / "in")
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    import os
+
+    os.makedirs(indir)
+
+    rows1 = [("a", 1), ("b", 2), ("a", 3)]
+    rows2 = [("a", 4), ("c", 5), ("b", 6)]  # a, b are replays
+    spark.createDataFrame(rows1, "k string, v long").coalesce(1).write.mode(
+        "append"
+    ).parquet(indir)
+
+    def run_once():
+        stream = spark.readStream.schema("k string, v long").parquet(indir)
+        q = (
+            streaming_first_seen(stream, "k")
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    run_once()
+    got1 = {r["k"] for r in spark.read.parquet(outdir).collect()}
+    assert got1 == {"a", "b"}
+
+    spark.createDataFrame(rows2, "k string, v long").coalesce(1).write.mode(
+        "append"
+    ).parquet(indir)
+    run_once()
+    rows = spark.read.parquet(outdir).collect()
+    assert {r["k"] for r in rows} == {"a", "b", "c"}
+    # each key exactly once despite replays
+    assert len(rows) == 3
