@@ -227,3 +227,24 @@ def test_langid_udf_and_jvm_paths_identical(spark, docs_df):
         ).collect()
     }
     assert a == b
+
+
+def test_pr_harness_on_adversarial_corpus(spark):
+    """P/R >= 0.95 on a larger, nastier corpus: chunking-size documents,
+    duplicated sentences, hot repo, every edge-case bucket of the
+    generator (north-rule correctness criterion at stress scale)."""
+    files = files_table(
+        spark, n_rows=800, seed=99, hot_fraction=0.4, big_doc_every=97
+    )
+    docs = P.docs_from_files(files)
+    rows = [(r["document_id"], r["content"]) for r in docs.collect()]
+    expected = reference_semantics_sentences(rows)
+    got = {
+        (r["text"], r["document_id"], r["lang"])
+        for r in P.sentences(P.sentence_base(docs)).collect()
+    }
+    tp = len(got & expected)
+    precision = tp / len(got) if got else 1.0
+    recall = tp / len(expected) if expected else 1.0
+    assert precision == 1.0 and recall == 1.0, (precision, recall)
+    assert len(expected) > 1000
