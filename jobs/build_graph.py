@@ -48,7 +48,17 @@ def main() -> None:
     from riksdagen_sentences_spark.plans import materialize as M
     from riksdagen_sentences_spark.plans import pipeline as P
 
-    spark = SparkSession.builder.appName("build-sentence-graph").getOrCreate()
+    spark = (
+        SparkSession.builder.appName("build-sentence-graph")
+        # cluster-agnostic defaults; real deployments override via
+        # spark-submit --conf (AQE coalescing right-sizes the shuffle
+        # partition count at runtime)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
     files = spark.read.parquet(args.input)
     if args.max_documents:
         files = files.limit(args.max_documents)
