@@ -1458,3 +1458,78 @@ _register(
     f"WITH {sentence_ctes()} SELECT sentence_id, text FROM sentences "
     "WHERE lang = 'en' AND contains(lower(text), ' merge ')",
 )
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation analytics (frequency / quality / language mix)
+# ---------------------------------------------------------------------------
+
+_register(
+    "token_frequency_top20",
+    lambda spark, sf: _tokens(spark, sf)
+    .filter(F.col("tok_accepted"))
+    .groupBy("norm")
+    .agg(F.count("*").alias("n"))
+    .orderBy(F.col("n").desc(), F.col("norm").asc())
+    .limit(20),
+    f"WITH {sentence_ctes()}{token_ctes()} "
+    "SELECT norm, COUNT(*) AS n FROM token_flags WHERE tok_accepted "
+    "GROUP BY norm ORDER BY n DESC, norm ASC LIMIT 20",
+)
+
+_QUALITY_SQL = (
+    "floor(greatest(0.0, least(1.0, least(CAST(len(list_filter("
+    "string_split_regex(text, '[\\t\\n\\f\\r\\x0B ]+'), w -> w <> '')) AS "
+    "DOUBLE) / 100.0, 1.0) - (CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+    "floor(CAST(len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS "
+    "DOUBLE) / length(text) * 10000.0 + 0.5) / 10000.0 END) * 2.0)) "
+    "* 10000.0 + 0.5) / 10000.0"
+)
+
+_register(
+    "docs_above_quality_threshold",
+    lambda spark, sf: _read(spark, sf, "documents")
+    .select(
+        "doc_id",
+        TS.quality_score_col(F.col("text")).alias("quality"),
+    )
+    .filter(F.col("quality") >= 0.5),
+    f"SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents "
+    f"WHERE {_QUALITY_SQL} >= 0.5",
+)
+
+_register(
+    "doc_language_distribution",
+    lambda spark, sf: (
+        lambda langcol: _read(spark, sf, "documents")
+        .select(langcol.alias("detected_lang"))
+        .groupBy("detected_lang")
+        .agg(F.count("*").alias("n"))
+    )(C.langid_cols(C.clean_sentence_col(F.col("text")))[0]),
+    f"""
+WITH c AS (SELECT {sql_clean_sentence('text')} AS cleaned FROM documents)
+SELECT {sql_langid_select('cleaned')[0]} AS detected_lang, COUNT(*) AS n
+FROM c GROUP BY 1
+""",
+)
+
+_register(
+    "stopword_ratio_histogram",
+    lambda spark, sf: _read(spark, sf, "documents")
+    .select(
+        (
+            F.floor(TS.stopword_ratio_col(F.col("text")) * 10.0) / 10.0
+        ).alias("bucket")
+    )
+    .groupBy("bucket")
+    .agg(F.count("*").alias("n")),
+    "SELECT floor((CASE WHEN len(list_filter(string_split_regex(lower("
+    "text), '[\\t\\n\\f\\r\\x0B ]+'), w -> w <> '')) = 0 THEN 0.0 ELSE "
+    "floor(CAST(len(list_filter(list_filter(string_split_regex(lower("
+    "text), '[\\t\\n\\f\\r\\x0B ]+'), w -> w <> ''), w -> w IN ("
+    + ", ".join(f"'{w}'" for w in TS.STOPWORDS_ALL)
+    + "))) AS DOUBLE) / len(list_filter(string_split_regex(lower(text), "
+    "'[\\t\\n\\f\\r\\x0B ]+'), w -> w <> '')) * 10000.0 + 0.5) / 10000.0 "
+    "END) * 10.0) / 10.0 AS bucket, COUNT(*) AS n "
+    "FROM documents GROUP BY 1",
+)
