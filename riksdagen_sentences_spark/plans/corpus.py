@@ -1533,3 +1533,58 @@ _register(
     "END) * 10.0) / 10.0 AS bucket, COUNT(*) AS n "
     "FROM documents GROUP BY 1",
 )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics: node degrees over the full triple union (Q-class
+# beyond the reference: graph-native consumption of the KG)
+# ---------------------------------------------------------------------------
+
+from ..operators.graph import degrees  # noqa: E402
+
+
+def _triples_union_sql() -> str:
+    return (
+        f"SELECT sentence_id AS subj, '{S.PRED_PART_OF}' AS pred, "
+        "document_id AS obj FROM sentences "
+        f"UNION ALL SELECT sentence_id, '{S.PRED_HAS_TEXT}', cleaned "
+        "FROM sentences "
+        f"UNION ALL SELECT DISTINCT {_RID_FROM_TOK}, '{S.PRED_OCCURS_IN}', "
+        f"{_SID_FROM_TOK} FROM token_flags WHERE tok_accepted AND "
+        "sent_accepted "
+        f"UNION ALL SELECT DISTINCT {_RID_FROM_TOK}, "
+        f"'{S.PRED_NORMALIZES_TO}', "
+        f"{uuid5_sql(chr(39) + 'normtoken' + chr(39), 'norm')} "
+        "FROM token_flags WHERE tok_accepted "
+        "UNION ALL SELECT subj, pred, "
+        f"{uuid5_sql(chr(39) + 'entity' + chr(39), 'label', 'ner_label')} "
+        f"FROM (SELECT DISTINCT s.sentence_id AS subj, "
+        f"'{S.PRED_MENTIONS}' AS pred, g.label, g.ner_label "
+        f"FROM sentences s, {gazetteer_values()} "
+        "WHERE contains(' ' || lower(s.cleaned) || ' ', "
+        "' ' || g.label || ' ')) "
+        f"UNION ALL SELECT DISTINCT {_RID_FROM_TOK_Q}, "
+        f"'{S.PRED_LINKS_TO}', lex.lexeme_id "
+        f"FROM token_flags t, {lexeme_values()} "
+        "WHERE t.tok_accepted AND t.norm = lex.form AND t.lang = lex.lang"
+    )
+
+
+_register(
+    "node_degrees_top20",
+    lambda spark, sf: degrees(P.triples(spark, _docs(spark, sf)))
+    .orderBy(F.col("degree").desc(), F.col("node").asc())
+    .limit(20),
+    f"WITH {sentence_ctes()}{token_ctes()}, "
+    f"t AS ({_triples_union_sql()}), "
+    "od AS (SELECT subj AS node, COUNT(*) AS out_degree FROM t GROUP BY "
+    "subj), "
+    "id_ AS (SELECT obj AS node, COUNT(*) AS in_degree FROM t GROUP BY "
+    "obj) "
+    "SELECT COALESCE(od.node, id_.node) AS node, "
+    "COALESCE(out_degree, 0) AS out_degree, "
+    "COALESCE(in_degree, 0) AS in_degree, "
+    "COALESCE(out_degree, 0) + COALESCE(in_degree, 0) AS degree "
+    "FROM od FULL OUTER JOIN id_ ON od.node = id_.node "
+    "ORDER BY degree DESC, node ASC LIMIT 20",
+)

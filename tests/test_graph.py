@@ -1,0 +1,80 @@
+"""Graph-analytics operator tests (degrees + connected components)."""
+
+from pyspark.sql import functions as F
+
+from riksdagen_sentences_spark.operators.graph import (
+    connected_components,
+    degrees,
+)
+from riksdagen_sentences_spark.plans import pipeline as P
+from riksdagen_sentences_spark.sources.synth import files_table
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_degrees_on_tiny_graph(spark):
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("a", "p", "c"), ("b", "p", "c")],
+        "subj string, pred string, obj string",
+    )
+    rows = {r["node"]: (r["out_degree"], r["in_degree"], r["degree"])
+            for r in degrees(t).collect()}
+    assert rows == {"a": (2, 0, 2), "b": (1, 1, 2), "c": (0, 2, 2)}
+
+
+def test_connected_components_matches_union_find(spark):
+    edges = [
+        ("a", "b"), ("b", "c"),          # comp min 'a'
+        ("d", "e"),                       # comp min 'd'
+        ("f", "g"), ("g", "h"), ("h", "f"),  # cycle, min 'f'
+        ("i", "i"),                       # self loop
+    ]
+    df = spark.createDataFrame(edges, "subj string, obj string")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, max_iter=10).collect()
+    }
+    exp = _union_find(edges)
+    # normalize union-find roots to min-of-component
+    comp_members = {}
+    for n, r in exp.items():
+        comp_members.setdefault(r, []).append(n)
+    exp_min = {
+        n: min(members)
+        for r, members in comp_members.items()
+        for n in members
+    }
+    assert got == exp_min
+
+
+def test_connected_components_on_pipeline_graph(spark):
+    docs = P.docs_from_files(files_table(spark, n_rows=100, seed=42))
+    triples = P.triples(spark, docs, cache=True)
+    occ = triples.filter(F.col("pred") == "occursIn")
+    cc = connected_components(occ, max_iter=15)
+    n_nodes = cc.count()
+    n_comps = cc.select("component").distinct().count()
+    assert 0 < n_comps < n_nodes  # shared tokens connect sentences
+    # every component label is a member of the component
+    bad = (
+        cc.alias("x")
+        .join(cc.alias("y"), F.col("x.component") == F.col("y.node"),
+              "left_anti")
+        .count()
+    )
+    assert bad == 0
