@@ -33,7 +33,7 @@ def build_all_tables(
 ) -> dict[str, DataFrame]:
     base = P.sentence_base(docs).persist()
     sents = P.sentences(base).persist()
-    toks = P.token_base(base)
+    toks = P.token_base(base).persist()
     mentions = P.mention_rows(sents)  # one gazetteer-UDF pass
     triples = (
         P.part_of_edges(sents)

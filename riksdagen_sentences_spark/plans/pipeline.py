@@ -343,6 +343,11 @@ def triples(
     if cache:
         sents = sents.persist()
     toks = token_base(base)
+    if cache:
+        # the token-level expression chain (POS CASE + cleaning regexes
+        # over ~10 tokens/sentence) is consumed by rawtokens, occursIn,
+        # normalizesTo and linksTo - persist so it evaluates once
+        toks = toks.persist()
     return (
         part_of_edges(sents)
         .unionByName(has_text_edges(sents))
