@@ -69,8 +69,8 @@ def run_level(parallelism: int, input_path: str) -> dict:
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     out_md = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        REPO, "BENCH", "BASELINE.md"
-    )
+        REPO, "BENCH", "LATEST.md"
+    )  # BASELINE.md is the curated summary; don't clobber it by default
     input_path = f"/tmp/scaling_input_{n_rows}"
     if not os.path.isdir(input_path):
         from riksdagen_sentences_spark.session import get_spark
@@ -106,8 +106,9 @@ def main() -> None:
             "identical input\n(deterministic synthetic files table, "
             f"seed=42, {n_rows} rows, one hot repo with ~30% of rows),\n"
             "run at two parallelism levels in-sandbox per the driver "
-            "instruction\n(local[8] vs local[32] stands in for N vs 4N "
-            "executors).  Timing is the\nbest of "
+            "instruction\n"
+            f"(local[{LEVELS[0]}] vs local[{LEVELS[-1]}] stands in for N "
+            "vs 4N executors).  Timing is the\nbest of "
             f"{MEASURE_ITERS} iterations after one warm-up per session.\n\n"
             "| parallelism | triples | best seconds | triples/sec |\n"
             "|---|---|---|---|\n"
@@ -118,7 +119,7 @@ def main() -> None:
                 f"{r['seconds_best']} | {r['triples_per_sec']} |\n"
             )
         f.write(
-            f"\n- speedup 8->32: **{summary['speedup']}x** "
+            f"\n- speedup {LEVELS[0]}->{LEVELS[-1]}: **{summary['speedup']}x** "
             f"(ideal {ideal}x)\n"
             f"- scaling efficiency: **{summary['efficiency']}** "
             f"(target >= 0.8)\n"
