@@ -1588,3 +1588,92 @@ _register(
     "FROM od FULL OUTER JOIN id_ ON od.node = id_.node "
     "ORDER BY degree DESC, node ASC LIMIT 20",
 )
+
+
+# ---------------------------------------------------------------------------
+# Provider/collection/dataset/license dimension chain (reference
+# config/providers.yml, collections.yml, datasets.yml, licenses.yml and
+# the license-restricted lookup in design/dialogues/
+# user_example_lookup_simple_token.txt).  The driver documents table's
+# `source` column acts as the dataset key; licenses are assigned
+# deterministically (even-numbered sources -> CC0, odd -> CC-BY), so
+# both engines derive the dim from the same arithmetic.
+# ---------------------------------------------------------------------------
+
+LICENSE_CC0 = "Q6938433"
+LICENSE_CCBY = "Q6905323"
+
+_LICENSE_SQL = (
+    "CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0 "
+    f"THEN '{LICENSE_CC0}' ELSE '{LICENSE_CCBY}' END"
+)
+
+
+def _license_col():
+    return F.when(
+        F.substring(F.col("source"), 4, 10).cast("int") % 2 == 0,
+        F.lit(LICENSE_CC0),
+    ).otherwise(F.lit(LICENSE_CCBY))
+
+
+_register(
+    "dataset_license_dim",
+    lambda spark, sf: _read(spark, sf, "documents")
+    .select(F.col("source").alias("dataset"), _license_col().alias(
+        "license_qid"
+    ))
+    .dropDuplicates(["dataset", "license_qid"]),
+    f"SELECT DISTINCT source AS dataset, {_LICENSE_SQL} AS license_qid "
+    "FROM documents",
+)
+
+_register(
+    "sentence_counts_by_license",
+    lambda spark, sf: _sentences(spark, sf)
+    .join(
+        _read(spark, sf, "documents").select(
+            F.col("doc_id").cast("string").alias("document_id"),
+            _license_col().alias("license_qid"),
+        ),
+        "document_id",
+    )
+    .groupBy("license_qid")
+    .agg(F.count("*").alias("n")),
+    f"WITH {sentence_ctes()} "
+    f"SELECT {_LICENSE_SQL} AS license_qid, COUNT(*) AS n "
+    "FROM sentences s JOIN documents d "
+    "ON s.document_id = CAST(d.doc_id AS VARCHAR) "
+    "GROUP BY 1",
+)
+
+_register(
+    "lookup_compound_cc0_only",
+    # the dialogue's license-restricted lookup: compound-token substring
+    # scan limited to sentences from CC0-licensed datasets
+    lambda spark, sf: _sentences(spark, sf)
+    .join(
+        _read(spark, sf, "documents").select(
+            F.col("doc_id").cast("string").alias("document_id"),
+            _license_col().alias("license_qid"),
+        ),
+        "document_id",
+    )
+    .filter(
+        (F.col("lang") == "en")
+        & F.lower(F.col("text")).contains("table scan")
+        & (F.col("license_qid") == LICENSE_CC0)
+    )
+    .select(
+        "sentence_id", "text", F.length("text").alias("n_chars")
+    )
+    .orderBy(F.col("n_chars").asc(), F.col("sentence_id").asc())
+    .limit(20),
+    f"WITH {sentence_ctes()} "
+    "SELECT sentence_id, text, n_chars FROM ("
+    "SELECT s.sentence_id AS sentence_id, s.text AS text, "
+    "length(s.text) AS n_chars FROM sentences s JOIN documents d "
+    "ON s.document_id = CAST(d.doc_id AS VARCHAR) "
+    f"WHERE s.lang = 'en' AND contains(lower(s.text), 'table scan') "
+    f"AND {_LICENSE_SQL} = '{LICENSE_CC0}') "
+    "ORDER BY n_chars ASC, sentence_id ASC LIMIT 20",
+)
