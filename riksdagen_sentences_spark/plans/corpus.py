@@ -230,6 +230,21 @@ def lexeme_values() -> str:
 # ---------------------------------------------------------------------------
 
 
+# Per-(session, sf_dir) memo of the persisted pipeline cut-points: the
+# driver's correctness gate runs all 71 queries against one session, and
+# without this every query would re-run the sentenizer lineage.  Entries
+# are keyed by the SparkContext identity so a stopped session's stale
+# DataFrames are never reused.
+_FRAME_CACHE: dict = {}
+
+
+def _memo(spark: SparkSession, sf_dir: str, kind: str, builder):
+    key = (id(spark.sparkContext), sf_dir, kind)
+    if key not in _FRAME_CACHE:
+        _FRAME_CACHE[key] = builder().persist()
+    return _FRAME_CACHE[key]
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.docs_from_documents(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -237,15 +252,24 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return P.sentence_base(_docs(spark, sf_dir))
+    return _memo(
+        spark, sf_dir, "base",
+        lambda: P.sentence_base(_docs(spark, sf_dir)),
+    )
 
 
 def _sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return P.sentences(_base(spark, sf_dir))
+    return _memo(
+        spark, sf_dir, "sentences",
+        lambda: P.sentences(_base(spark, sf_dir)),
+    )
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return P.token_base(_base(spark, sf_dir))
+    return _memo(
+        spark, sf_dir, "tokens",
+        lambda: P.token_base(_base(spark, sf_dir)),
+    )
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
