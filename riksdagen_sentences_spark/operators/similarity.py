@@ -66,6 +66,72 @@ def cosine_topk(
     ).limit(k)
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
+    corpus into cells; the query scans only its ``n_probe`` nearest
+    cells, exact cosine within them.
+
+    Scale path: write the table partitioned by ``cell`` and a query
+    prunes to n_probe/n_cells of the data; the quantizer is trained once
+    (MLlib KMeans, fixed seed -> deterministic within one Spark version)
+    and broadcast.  Not SQL-expressible -> rows-only driver check; the
+    recall-vs-brute-force bound is pinned in tests.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    with_vec = embeddings.withColumn(
+        "__features", array_to_vector(_to_double(F.col(vec_col)))
+    )
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="__features", predictionCol="__cell"
+    ).fit(with_vec)
+    assigned = model.transform(with_vec).drop("__features")
+
+    centers = model.clusterCenters()
+    q_row = (
+        assigned.filter(F.col(id_col) == query_vec_id)
+        .select(vec_col)
+        .first()
+    )
+    qv = [float(x) for x in q_row[vec_col]]
+
+    import math
+
+    def _cos(c) -> float:
+        dot = sum(a * b for a, b in zip(qv, c))
+        nc = math.sqrt(sum(a * a for a in c)) or 1.0
+        nq = math.sqrt(sum(a * a for a in qv)) or 1.0
+        return dot / (nc * nq)
+
+    probe_cells = sorted(
+        range(len(centers)), key=lambda i: -_cos(centers[i])
+    )[:n_probe]
+
+    q = assigned.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__q")
+    )
+    cand = assigned.filter(
+        F.col("__cell").isin(probe_cells) & (F.col(id_col) != query_vec_id)
+    )
+    scored = cand.crossJoin(F.broadcast(q)).select(
+        F.col(id_col),
+        cosine_col(F.col(vec_col), F.col("__q")).alias("cosine"),
+    )
+    return scored.orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    ).limit(k)
+
+
 def lsh_plane_sign_cols(
     vec: Column, dims: int, n_planes: int = 8
 ) -> Column:

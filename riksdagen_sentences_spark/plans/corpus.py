@@ -1701,3 +1701,17 @@ _register(
     f"AND {_LICENSE_SQL} = '{LICENSE_CC0}') "
     "ORDER BY n_chars ASC, sentence_id ASC LIMIT 20",
 )
+
+
+# IVF ANN (MLlib KMeans coarse quantizer) - not SQL-expressible, so this
+# entry has no oracle twin: the driver records its weaker rows-only
+# check, and the recall-vs-brute-force bound is pinned in
+# tests/test_similarity.py.
+_register(
+    "embedding_ivf_top10",
+    lambda spark, sf: SIM.ivf_topk(
+        _read(spark, sf, "embeddings"), query_vec_id=0, k=10,
+        n_cells=16, n_probe=4,
+    ),
+    None,
+)
