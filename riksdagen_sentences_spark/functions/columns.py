@@ -115,7 +115,8 @@ def langid_cols(cleaned: Column) -> tuple[Column, Column]:
 
     Returns (detected_lang, rounded_score).
     """
-    words = F.split(F.lower(cleaned), " ")
+    lowered = F.lower(cleaned)
+    words = F.split(lowered, " ")
 
     def _hit_counter(stop: tuple[str, ...]):
         return lambda w: w.isin(*stop)
@@ -126,11 +127,48 @@ def langid_cols(cleaned: Column) -> tuple[Column, Column]:
     }
     mx = F.greatest(*hits.values())
     total = sum(list(hits.values())[1:], start=list(hits.values())[0])
-    detected = F.when((cleaned == "") | (total <= 0), F.lit(S.UND_LANG))
+
+    # char-trigram fallback (kernels.langid / semantics.LANGID_TRIGRAMS)
+    def _tri_count(tri: str):
+        return (
+            (F.length(lowered) - F.length(F.replace(lowered, F.lit(tri))))
+            / 3
+        ).cast("int")
+
+    tri_hits = {
+        lang: sum(
+            [_tri_count(t) for t in tris[1:]], start=_tri_count(tris[0])
+        )
+        for lang, tris in S.LANGID_TRIGRAMS.items()
+    }
+    tri_mx = F.greatest(*tri_hits.values())
+    tri_total = sum(
+        list(tri_hits.values())[1:], start=list(tri_hits.values())[0]
+    )
+
+    detected = F.when(cleaned == "", F.lit(S.UND_LANG))
     for lang in S.LANGID_ORDER:
-        detected = detected.when(hits[lang] == mx, F.lit(lang))
-    score = F.when((cleaned == "") | (total <= 0), F.lit(0.0)).otherwise(
-        round_score_col(mx.cast("double") / total.cast("double"))
+        detected = detected.when(
+            (total > 0) & (hits[lang] == mx), F.lit(lang)
+        )
+    for lang in S.LANGID_ORDER:
+        detected = detected.when(
+            (total <= 0) & (tri_total > 0) & (tri_hits[lang] == tri_mx),
+            F.lit(lang),
+        )
+    score = (
+        F.when(cleaned == "", F.lit(0.0))
+        .when(
+            total > 0,
+            round_score_col(mx.cast("double") / total.cast("double")),
+        )
+        .when(
+            tri_total > 0,
+            round_score_col(
+                tri_mx.cast("double") / tri_total.cast("double")
+            ),
+        )
+        .otherwise(F.lit(0.0))
     )
     return detected.otherwise(F.lit(S.UND_LANG)), score
 

@@ -37,7 +37,8 @@ def detect_language(cleaned_sentence: str) -> tuple[str, float]:
     empty or no stop word matches."""
     from .text import ascii_words
 
-    words = ascii_words(cleaned_sentence.lower())
+    lowered = cleaned_sentence.lower()
+    words = ascii_words(lowered)
     if not words:
         return (S.UND_LANG, 0.0)
     best_lang = S.UND_LANG
@@ -46,6 +47,20 @@ def detect_language(cleaned_sentence: str) -> tuple[str, float]:
     for lang in S.LANGID_ORDER:
         stopset = _STOPSETS[lang]
         hits = sum(1 for w in words if w in stopset)
+        total_hits += hits
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    if total_hits > 0:
+        return (best_lang, round_score(best_hits / total_hits))
+    # char-trigram fallback (semantics.LANGID_TRIGRAMS)
+    best_lang = S.UND_LANG
+    best_hits = 0
+    total_hits = 0
+    for lang in S.LANGID_ORDER:
+        hits = sum(
+            (len(lowered) - len(lowered.replace(tri, ""))) // 3
+            for tri in S.LANGID_TRIGRAMS[lang]
+        )
         total_hits += hits
         if hits > best_hits:
             best_lang, best_hits = lang, hits

@@ -65,18 +65,44 @@ def sql_langid_hits(cleaned: str) -> dict[str, str]:
     return out
 
 
+def sql_tri_hits(cleaned: str) -> dict[str, str]:
+    """Char-trigram occurrence counts (kernels.langid fallback)."""
+    out = {}
+    for lang, tris in S.LANGID_TRIGRAMS.items():
+        parts = [
+            f"CAST((length(lower({cleaned})) - "
+            f"length(replace(lower({cleaned}), '{t}', ''))) / 3 AS BIGINT)"
+            for t in tris
+        ]
+        out[lang] = "(" + " + ".join(parts) + ")"
+    return out
+
+
 def sql_langid_select(cleaned: str) -> tuple[str, str]:
-    """Return (lang_expr, score_expr) matching kernels.langid."""
+    """Return (lang_expr, score_expr) matching kernels.langid (stop-word
+    scoring with char-trigram fallback)."""
     hits = sql_langid_hits(cleaned)
-    total = " + ".join(hits.values())
+    total = "(" + " + ".join(hits.values()) + ")"
     mx = "greatest(" + ", ".join(hits.values()) + ")"
-    lang = f"CASE WHEN {cleaned} = '' OR ({total}) = 0 THEN '{S.UND_LANG}' "
+    tri = sql_tri_hits(cleaned)
+    tri_total = "(" + " + ".join(tri.values()) + ")"
+    tri_mx = "greatest(" + ", ".join(tri.values()) + ")"
+    lang = f"CASE WHEN {cleaned} = '' THEN '{S.UND_LANG}' "
     for lg in S.LANGID_ORDER:
-        lang += f"WHEN {hits[lg]} = {mx} THEN '{lg}' "
+        lang += f"WHEN {total} > 0 AND {hits[lg]} = {mx} THEN '{lg}' "
+    for lg in S.LANGID_ORDER:
+        lang += (
+            f"WHEN {total} <= 0 AND {tri_total} > 0 AND "
+            f"{tri[lg]} = {tri_mx} THEN '{lg}' "
+        )
     lang += f"ELSE '{S.UND_LANG}' END"
     score = (
-        f"CASE WHEN {cleaned} = '' OR ({total}) = 0 THEN 0.0 "
-        f"ELSE {sql_round_score(f'CAST({mx} AS DOUBLE) / ({total})')} END"
+        f"CASE WHEN {cleaned} = '' THEN 0.0 "
+        f"WHEN {total} > 0 THEN "
+        f"{sql_round_score(f'CAST({mx} AS DOUBLE) / {total}')} "
+        f"WHEN {tri_total} > 0 THEN "
+        f"{sql_round_score(f'CAST({tri_mx} AS DOUBLE) / {tri_total}')} "
+        f"ELSE 0.0 END"
     )
     return lang, score
 

@@ -116,6 +116,20 @@ LANGID_ORDER = tuple(LANGID_STOPWORDS)  # deterministic tie-break order
 UND_LANG = "und"
 SCORE_DECIMALS = 2
 
+# Char-trigram fallback (the north star's "stop-word/char-ngram
+# scoring"): when NO stop word matches, count non-overlapping trigram
+# occurrences in the lower-cased cleaned sentence; detected = argmax
+# hits (LANGID_ORDER tie-break), score = max/total as above.  Counting
+# is (len(s) - len(replace(s, tri, ''))) / 3 - identical in Python,
+# Spark and DuckDB.
+LANGID_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "sv": ("sjä", "stä", "ång", "öra"),
+    "en": ("the", "ing", "ion", "igh"),
+    "nb": ("jeg", "ikk", "øye", "kje"),
+    "de": ("sch", "ich", "ein", "ung"),
+    "fr": ("eau", "oix", "eur", "çai"),
+}
+
 # ---------------------------------------------------------------------------
 # Heuristic POS tagging (engine-defined; replaces spaCy pos_,
 # reference models/token.py:67-68).  Evaluated in order; first match wins.
