@@ -34,7 +34,9 @@ def round_score(x: float) -> float:
 
 def detect_language(cleaned_sentence: str) -> tuple[str, float]:
     """Return (iso_code, score) for a CLEANED sentence; ('und', 0.0) when
-    empty or no stop word matches."""
+    empty; falls back to char-trigram
+    scoring (semantics.LANGID_TRIGRAMS) when no stop word matches, and
+    to ('und', 0.0) when neither signal fires."""
     from .text import ascii_words
 
     lowered = cleaned_sentence.lower()
