@@ -143,6 +143,32 @@ def run_incremental(
     return processed
 
 
+def compact_canonical(spark: SparkSession, out_dir: str) -> dict[str, int]:
+    """Rewrite the incrementally-written canonical tables globally
+    deduplicated (incremental runs dedup per bucket only; ids are
+    deterministic content hashes, so cross-bucket duplicates are
+    id-identical rows).  The Iceberg analog of a rewrite-data-files
+    compaction.  Returns per-table row counts after compaction."""
+    counts: dict[str, int] = {}
+    for name, keys in _CANONICAL_KEYS.items():
+        path = f"{out_dir}/{name}"
+        df = spark.read.parquet(path)
+        had_bucket = "bucket" in df.columns
+        if had_bucket:
+            df = df.drop("bucket")
+        deduped = df.dropDuplicates(keys)
+        tmp = f"{out_dir}/__compact_{name}"
+        deduped.write.mode("overwrite").parquet(tmp)
+        compacted = spark.read.parquet(tmp)
+        compacted.write.mode("overwrite").parquet(path)
+        counts[name] = spark.read.parquet(path).count()
+        # best-effort tmp cleanup
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return counts
+
+
 _CANONICAL_KEYS = {
     "rawtokens": ["rawtoken_id"],
     "normtokens": ["normtoken_id"],

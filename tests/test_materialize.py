@@ -96,3 +96,22 @@ def test_lineage_fingerprint_order_independent(spark, docs_df):
     fp1 = lineage_fingerprint(docs_df)
     fp2 = lineage_fingerprint(docs_df.orderBy(F.rand(7)))
     assert fp1 == fp2
+
+
+def test_compact_canonical_globally_dedups(spark, docs_df, tmp_path):
+    out = str(tmp_path / "compact")
+    M.run_incremental(spark, docs_df, out, buckets=6)
+    raw_before = spark.read.parquet(f"{out}/rawtokens")
+    dup_rows = raw_before.count()
+    distinct_rows = raw_before.drop("bucket").dropDuplicates(
+        ["rawtoken_id"]
+    ).count()
+    assert dup_rows > distinct_rows  # cross-bucket duplicates exist
+    counts = M.compact_canonical(spark, out)
+    assert counts["rawtokens"] == distinct_rows
+    after = spark.read.parquet(f"{out}/rawtokens")
+    assert after.count() == distinct_rows
+    # canonical read is unchanged by compaction
+    assert (
+        M.read_graph_table(spark, out, "rawtokens").count() == distinct_rows
+    )
