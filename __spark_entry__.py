@@ -29,18 +29,30 @@ def _ensure_workers(spark: SparkSession) -> None:
     PYTHONPATH export above only helps workers spawned after import).
     addPyFile distributes a zip of the package to already-running
     executors - the local equivalent of spark-submit --py-files."""
+    import hashlib
     import zipfile
 
-    zpath = "/tmp/riksdagen_sentences_spark_pkg.zip"
+    # name the zip by a content hash of the package sources so an edited
+    # package always re-ships to executors (a fixed name would keep
+    # serving a stale zip across edit-rerun cycles: silent driver/executor
+    # divergence)
+    pkg = os.path.join(_REPO, "riksdagen_sentences_spark")
+    srcs = []
+    for root, _dirs, fns in os.walk(pkg):
+        for fn in sorted(fns):
+            if fn.endswith(".py"):
+                srcs.append(os.path.join(root, fn))
+    digest = hashlib.sha256()
+    for full in sorted(srcs):
+        digest.update(full.encode())
+        with open(full, "rb") as fh:
+            digest.update(fh.read())
+    zpath = f"/tmp/riksdagen_sentences_spark_pkg_{digest.hexdigest()[:16]}.zip"
     if not os.path.exists(zpath):
-        pkg = os.path.join(_REPO, "riksdagen_sentences_spark")
         tmp = zpath + ".tmp"
         with zipfile.ZipFile(tmp, "w") as z:
-            for root, _dirs, fns in os.walk(pkg):
-                for fn in fns:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        z.write(full, os.path.relpath(full, _REPO))
+            for full in srcs:
+                z.write(full, os.path.relpath(full, _REPO))
         os.replace(tmp, zpath)
     try:
         spark.sparkContext.addPyFile(zpath)

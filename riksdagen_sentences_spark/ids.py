@@ -19,6 +19,13 @@ Three parallel implementations, all guaranteed byte-identical:
 
 Entity names are joined with the ASCII unit separator (0x1f) which cannot
 occur in cleaned text, so composite keys cannot collide by concatenation.
+
+NULL handling is explicit and identical on all three sides: a NULL part is
+encoded as the single byte 0x00 (which also cannot occur in cleaned text),
+so ``uuid5_col('a', NULL, 'b')`` differs from ``uuid5_col('a', 'b')`` and
+Spark and the DuckDB oracle agree on nullable key columns.  (Spark's
+``concat_ws`` silently DROPS null parts and DuckDB's ``||`` propagates
+NULL - without the sentinel the two sides would diverge.)
 """
 
 from __future__ import annotations
@@ -29,6 +36,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 SEP = "\x1f"
+NULL_SENTINEL = "\x00"
 _VARIANT_TR_SRC = "0123456789abcdef"
 _VARIANT_TR_DST = "89ab89ab89ab89ab"
 
@@ -40,9 +48,9 @@ def _format_uuid_from_hex(h: str) -> str:
     )
 
 
-def uuid5_py(*parts: str) -> str:
+def uuid5_py(*parts: str | None) -> str:
     """Pure-Python twin of :func:`uuid5_col` (tests + P/R oracle)."""
-    name = SEP.join(parts)
+    name = SEP.join(NULL_SENTINEL if p is None else p for p in parts)
     h = hashlib.sha256(name.encode("utf-8")).hexdigest()
     return _format_uuid_from_hex(h)
 
@@ -50,7 +58,16 @@ def uuid5_py(*parts: str) -> str:
 def uuid5_col(*parts: Column | str) -> Column:
     """UUIDv5-style id as a pure Spark Column expression (no UDF)."""
     cols = [c if isinstance(c, Column) else F.col(c) for c in parts]
-    h = F.sha2(F.concat_ws(SEP, *[c.cast("string") for c in cols]), 256)
+    h = F.sha2(
+        F.concat_ws(
+            SEP,
+            *[
+                F.coalesce(c.cast("string"), F.lit(NULL_SENTINEL))
+                for c in cols
+            ],
+        ),
+        256,
+    )
     return F.concat_ws(
         "-",
         F.substring(h, 1, 8),
@@ -66,7 +83,9 @@ def uuid5_col(*parts: Column | str) -> Column:
 
 def uuid5_sql(*part_exprs: str) -> str:
     """DuckDB SQL snippet computing the identical id from column exprs."""
-    name = (" || chr(31) || ").join(f"CAST({e} AS VARCHAR)" for e in part_exprs)
+    name = (" || chr(31) || ").join(
+        f"COALESCE(CAST({e} AS VARCHAR), chr(0))" for e in part_exprs
+    )
     h = f"sha256({name})"
     return (
         f"(substr({h},1,8) || '-' || substr({h},9,4) || '-5' || "

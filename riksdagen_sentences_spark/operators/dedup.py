@@ -25,30 +25,52 @@ SALT_COL = "__salt"
 def salted_dedup(
     df: DataFrame,
     keys: list[str],
-    order_col: str | None = None,
     salt_buckets: int = 64,
+    check_dependence: bool = False,
 ) -> DataFrame:
     """Exactly-one-row-per-key dedup in two salted phases.
 
-    All non-key columns are reduced with ``min_by(struct, order_col)``
-    when ``order_col`` is given (keep the first occurrence, matching the
-    reference's insert-on-first-sight semantics), else with ``min`` of the
-    row struct (deterministic, order-independent).
+    CONTRACT: every non-key column is reduced with an INDEPENDENT ``MIN``.
+    Callers must ensure each non-key column is either (a) functionally
+    dependent on the key (identical within every group - then MIN is the
+    group's single value), or (b) a column where per-group MIN is itself
+    the wanted semantics (e.g. ``sent_idx`` -> first-occurrence index).
+    Columns violating both would yield a row mixing values from different
+    input rows; ``check_dependence=True`` (debug/tests only - it runs an
+    extra aggregation over ``df``) raises if any group has >1 distinct
+    value in any non-key column.
+
+    Per-column MIN instead of ``min_by(struct(...))``: struct-typed agg
+    buffers force SortAggregate (3 sorts in the plan); primitive MINs
+    keep both phases in HashAggregate with map-side partials.  Known
+    deviation recorded in ``semantics.py``: the canonical rawtoken
+    ``score`` is min-over-occurrences, not the reference's
+    first-insert score (insert order is undefined in a distributed
+    engine; MIN is the deterministic, order-independent choice).
     """
     others = [c for c in df.columns if c not in keys]
     if not others:
         # key-only dedup is map-side combinable already (partial hash agg
         # collapses the hot key within each task) - no salting needed
         return df.dropDuplicates(keys)
-    # Per-column MIN instead of min_by(struct(...)): struct-typed agg
-    # buffers force SortAggregate (3 sorts in the plan); primitive MINs
-    # keep both phases in HashAggregate with map-side partials.  This is
-    # correct because in every pipeline use the non-key columns are
-    # functionally dependent on the key (identical within a group), so
-    # any per-column reduction yields the group's single value; MIN of
-    # the order column is the first-occurrence index the reference's
-    # insert-on-first-sight semantics needs.
-    del order_col  # kept in the signature for call-site documentation
+    if check_dependence:
+        bad = (
+            df.groupBy(*keys)
+            .agg(*[F.countDistinct(c).alias(c) for c in others])
+            .filter(
+                F.greatest(*[F.col(c) for c in others]) > 1
+                if len(others) > 1
+                else F.col(others[0]) > 1
+            )
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                "salted_dedup: a non-key column has >1 distinct value "
+                f"within a key group (keys={keys}); per-column MIN would "
+                "mix values from different rows"
+            )
     aggs = [F.min(c).alias(c) for c in others]
     salted = df.withColumn(
         SALT_COL, F.pmod(F.spark_partition_id(), F.lit(salt_buckets))

@@ -45,6 +45,12 @@ def connected_components(
     Label propagation: every node repeatedly adopts the minimum label
     among itself and its neighbors until a fixpoint.  Deterministic
     (min over string ids).
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds exhaust WITHOUT
+    reaching the fixpoint (component diameter > max_iter) - silently
+    returning non-converged labels would hand the caller wrong
+    components.  min-label propagation converges in O(diameter) rounds,
+    so raise ``max_iter`` for long-chain graphs.
     """
     sym = (
         edges.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
@@ -60,6 +66,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .persist()
     )
+    converged = False
     for i in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -89,6 +96,13 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "iterations (component diameter exceeds max_iter); raise "
+            "max_iter - returning partial labels would be silently wrong"
+        )
     return labels.select("node", "component")

@@ -68,7 +68,10 @@ def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
         (F.col("id") % 64 + 1).cast("int").alias("width"),
         (F.col("id") % 48 + 1).cast("int").alias("height"),
         (F.col("id") * 1000).alias("duration_ms"),
-        F.sha2(F.concat(F.lit(f"payload:{seed}:"), F.col("id")), 512)
+        # payload = UTF-8 bytes of a sha256 hex string: deterministic,
+        # and exactly reproducible in the DuckDB oracle (which has
+        # sha256 but not sha512)
+        F.sha2(F.concat(F.lit(f"payload:{seed}:"), F.col("id")), 256)
         .cast("binary")
         .alias("payload"),
     )

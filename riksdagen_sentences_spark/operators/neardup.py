@@ -8,12 +8,23 @@ Scale notes (the whole point of these operators):
 - **n-gram Jaccard**: the exact baseline; the shingle self-join is
   quadratic in the hottest shingle, so it is the thing MinHash exists to
   replace - keep it for verification at small SF, use MinHash at 100 TB.
-- **MinHash+LSH**: signature = per-seed min over md5(seed || shingle)
-  (md5 hex is identical in Spark and DuckDB, making the oracle exact);
-  band keys bucket candidates so the join is linear in bucket sizes.
-  Band width/count trade precision vs recall.
-- **SimHash**: per-hex-digit sign aggregation over token md5s - a
-  32-dimension bit fingerprint; Hamming-close docs are near-dups.
+- **MinHash+LSH**: signature = per-seed min over the first 15 hex digits
+  of md5(seed || shingle) FOLDED TO BIGINT (``conv(hex,16,10)``): md5 is
+  identical in Spark and DuckDB so the oracle is exact, and a BIGINT min
+  keeps both aggregation phases in whole-stage-codegen HashAggregate
+  (string MIN buffers force SortAggregate).  Band keys bucket candidates
+  so the join is linear in bucket sizes; ``n_perm``/``bands`` are
+  parameters (8/4 for the oracle-twinned queries, 128/32 for the
+  production-scale configuration exercised in tests/bench).
+- **LSH verification**: ``lsh_verified_pairs`` re-checks exact Jaccard on
+  the candidate set only - candidates are precision-unbounded by
+  construction, so the verify stage is what a 100 TB dedup actually acts
+  on (the all-pairs ``ngram_jaccard_pairs`` is the small-SF baseline it
+  replaces).
+- **SimHash**: per-hex-digit sign aggregation over token md5s - a bit
+  fingerprint; ``simhash_neardup_pairs`` produces the near-dup pairs via
+  banded bucketing (join on band equality, never all-pairs) + Hamming
+  verification within candidates.
 
 Everything is pure column expressions - no UDFs, no driver loops.
 """
@@ -141,41 +152,50 @@ def ngram_jaccard_pairs(
     return j.select("doc_a", "doc_b", "jaccard")
 
 
+def _minhash_term(seed: int) -> F.Column:
+    """min-term for one permutation: first 15 hex digits of
+    md5(seed || ':' || shingle) folded to BIGINT.  15 hex digits = 60
+    bits < 63, so the fold is exact; a BIGINT agg buffer keeps the MIN in
+    HashAggregate (a string buffer would force SortAggregate)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def _signatures_from_shingles(sh: DataFrame, n_perm: int) -> DataFrame:
+    aggs = [
+        F.min(_minhash_term(s)).alias(f"mh{s}") for s in range(n_perm)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text"
+    docs: DataFrame, text_col: str = "text", n_perm: int = MINHASH_SEEDS
 ) -> DataFrame:
-    """Per-seed min over md5(seed || ':' || shingle).
+    """Per-seed min over md5(seed || ':' || shingle), folded to bigint.
 
     Formulated as explode -> hash-aggregate rather than per-row
     higher-order functions: HOF expressions are interpreted (no
-    whole-stage codegen), so 8 transform/array_min passes per row cost
-    ~4x more than one codegen'd MIN aggregation over exploded shingles -
-    and the explode+partial-agg shape is also the one that scales
-    (map-side combine, no giant per-row arrays).  Docs with no shingles
-    (< k words) are re-attached with NULL signatures to preserve the
-    row-per-doc contract."""
+    whole-stage codegen), so n_perm transform/array_min passes per row
+    cost ~4x more than one codegen'd MIN aggregation over exploded
+    shingles - and the explode+partial-agg shape is also the one that
+    scales (map-side combine, no giant per-row arrays).  Docs with no
+    shingles (< k words) are re-attached with NULL signatures to preserve
+    the row-per-doc contract."""
     sh = _doc_shingles_fast(docs, text_col)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(
-            f"mh{s}"
-        )
-        for s in range(MINHASH_SEEDS)
-    ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+    sig = _signatures_from_shingles(sh, n_perm)
     return docs.select("doc_id").join(sig, "doc_id", "left")
 
 
-def lsh_candidate_pairs(
-    docs: DataFrame, text_col: str = "text"
-) -> DataFrame:
-    """MinHash-LSH candidate pairs: docs sharing any band key.
-
-    Scale path: band-key groupBy is linear; candidate verification (here:
-    none, pairs are emitted directly) would re-check Jaccard on the small
-    candidate set instead of the full cross product.
-    """
-    sig = minhash_signatures(docs, text_col)
-    rows_per_band = MINHASH_SEEDS // LSH_BANDS
+def _band_table(sig: DataFrame, n_perm: int, bands: int) -> DataFrame:
+    """(doc_id, band_key) - one row per band per signed doc.  One pass
+    over the signatures: explode the band array instead of a bands-way
+    union that would recompute the signature lineage per branch."""
+    rows_per_band = n_perm // bands
     band_keys = F.array(
         *[
             F.md5(
@@ -183,24 +203,22 @@ def lsh_candidate_pairs(
                     "|",
                     F.lit(str(band)),
                     *[
-                        F.col(f"mh{band * rows_per_band + r}")
+                        F.col(f"mh{band * rows_per_band + r}").cast(
+                            "string"
+                        )
                         for r in range(rows_per_band)
                     ],
                 )
             )
-            for band in range(LSH_BANDS)
+            for band in range(bands)
         ]
     )
-    # one pass over the signatures: explode the band array instead of a
-    # 4-way union that would recompute the shingler per branch; persist
-    # because the self-join consumes the band table twice
-    all_bands = (
-        sig.filter(F.col("mh0").isNotNull())
-        .select("doc_id", F.explode(band_keys).alias("band_key"))
-        .persist()
+    return sig.filter(F.col("mh0").isNotNull()).select(
+        "doc_id", F.explode(band_keys).alias("band_key")
     )
-    all_bands.count()  # eager: both self-join sides must hit the cache,
-    # not race to compute the signature lineage twice
+
+
+def _pairs_from_bands(all_bands: DataFrame) -> DataFrame:
     a = all_bands.alias("a")
     b = all_bands.alias("b")
     return (
@@ -214,11 +232,93 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_perm: int = MINHASH_SEEDS,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs sharing any band key.
+
+    Scale path: band-key groupBy is linear in bucket sizes.  Candidates
+    are precision-unbounded - pipe them through
+    :func:`lsh_verified_pairs` before acting on them.
+    """
+    sh = _doc_shingles_fast(docs, text_col)
+    sig = _signatures_from_shingles(sh, n_perm)
+    # persist: both self-join sides must hit the cache, not race to
+    # compute the signature lineage twice
+    all_bands = _band_table(sig, n_perm, bands).persist()
+    all_bands.count()
+    return _pairs_from_bands(all_bands)
+
+
+def lsh_verified_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.2,
+    n_perm: int = MINHASH_SEEDS,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """LSH candidates + exact Jaccard verification ON THE CANDIDATE SET
+    ONLY: (doc_a, doc_b, jaccard) with jaccard >= threshold.
+
+    This is how MinHash-LSH is actually used at 100 TB: the banded join
+    produces a small candidate set (linear), then the exact re-check runs
+    per-candidate (shingles join candidates, never shingles join
+    shingles) - contrast with the quadratic all-pairs
+    :func:`ngram_jaccard_pairs`, which exists only as the small-SF
+    verification baseline.  Output rows are a subset of
+    :func:`lsh_candidate_pairs` by construction."""
+    sh = _doc_shingles_fast(docs, text_col).persist()
+    sh.count()  # eager: shingles feed signatures AND both verify joins
+    sig = _signatures_from_shingles(sh, n_perm)
+    all_bands = _band_table(sig, n_perm, bands).persist()
+    all_bands.count()
+    cand = _pairs_from_bands(all_bands)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    # candidate-restricted intersection: |sh| x candidate-degree, linear
+    inter = (
+        sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(cand, "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.floor(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast(
+                    "double"
+                )
+                * 10000.0
+                + F.lit(0.5)
+            )
+            / 10000.0,
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 _HEX = "0123456789abcdef"
 
 
 def simhash_fingerprints(
-    docs: DataFrame, text_col: str = "text"
+    docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS
 ) -> DataFrame:
     """SimHash over word tokens: dimension j uses hex digit j of
     md5(word); digit >= 8 votes +1 else -1; bit j = (sum > 0).
@@ -226,7 +326,7 @@ def simhash_fingerprints(
     Same explode -> codegen'd SUM aggregation shape as MinHash (per-row
     HOF voting is interpreted and ~10x slower).  Docs with no words get
     the all-zero fingerprint (matching the HOF formulation where every
-    dimension sums to 0)."""
+    dimension sums to 0).  ``bits`` <= 32 (md5 hex digits)."""
     toks = docs.select(
         "doc_id", F.explode(words_col(F.col(text_col))).alias("w")
     ).select("doc_id", F.md5("w").alias("h"))
@@ -238,19 +338,108 @@ def simhash_fingerprints(
                     F.lit(1),
                 ).otherwise(F.lit(-1))
             ).alias(f"s{j}")
-            for j in range(SIMHASH_BITS)
+            for j in range(bits)
         ]
     )
-    bits = F.concat(
+    bit_str = F.concat(
         *[
             F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
-            for j in range(SIMHASH_BITS)
+            for j in range(bits)
         ]
     )
-    sig = sums.select("doc_id", bits.alias("simhash"))
+    sig = sums.select("doc_id", bit_str.alias("simhash"))
     return docs.select("doc_id").join(sig, "doc_id", "left").select(
         "doc_id",
-        F.coalesce(F.col("simhash"), F.lit("0" * SIMHASH_BITS)).alias(
-            "simhash"
-        ),
+        F.coalesce(F.col("simhash"), F.lit("0" * bits)).alias("simhash"),
+    )
+
+
+def hamming_col(a: F.Column, b: F.Column, bits: int) -> F.Column:
+    """Hamming distance between two fixed-length '0'/'1' strings as a
+    codegen'd sum of per-position comparisons (no UDF, no HOF)."""
+    terms = [
+        F.when(
+            F.substring(a, j + 1, 1) != F.substring(b, j + 1, 1), 1
+        ).otherwise(0)
+        for j in range(bits)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs via banded bucketing + Hamming verify:
+    (doc_a, doc_b, hamming) with hamming <= max_hamming.
+
+    Pigeonhole: two fingerprints within ``max_hamming`` <= bands - 1 bit
+    flips MUST agree on at least one of ``bands`` equal-width bands, so
+    the band-equality join finds every true pair while staying linear in
+    bucket sizes (never all-pairs).  The Hamming re-check then removes
+    band-collision false positives.  This is the pairing half that makes
+    the fingerprints useful - production would use 64-bit fingerprints
+    with 4 x 16-bit bands; 32/4 keeps the oracle twin exact (md5 gives 32
+    hex digits)."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            "banded SimHash misses pairs when max_hamming > bands - 1 "
+            f"(got max_hamming={max_hamming}, bands={bands})"
+        )
+    band_w = bits // bands
+    fp = simhash_fingerprints(docs, text_col, bits=bits)
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_no"),
+                        F.substring(
+                            "simhash", i * band_w + 1, band_w
+                        ).alias("band"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band_no", "b.band")
+    banded = banded.persist()
+    banded.count()  # both self-join sides read the cache
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        # distinct over ALL columns (sim_a/sim_b are functions of the
+        # ids): pure distinct stays HashAggregate, while
+        # dropDuplicates([doc_a, doc_b]) would carry the sim strings in
+        # First() agg buffers and force SortAggregate
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", hamming_col(F.col("sim_a"), F.col("sim_b"), bits)
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+        )
     )

@@ -857,6 +857,25 @@ _register(
     "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
 )
 
+# Row-bearing Q16 twin: every sf0.01 customer has SOME order (the plain
+# anti-join above is vacuously green at 0 rows), but 203 have no URGENT
+# order - same anti-join operator, parameters the testdata satisfies.
+_register(
+    "customers_without_urgent_orders",
+    lambda spark, sf: _read(spark, sf, "customer")
+    .join(
+        _read(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    .select("c_custkey", "c_name"),
+    "SELECT c_custkey, c_name FROM customer "
+    "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
+    "WHERE o_orderpriority = '1-URGENT')",
+)
+
 _register(
     "top10_customers_by_spend",
     lambda spark, sf: _read(spark, sf, "orders")
@@ -981,11 +1000,31 @@ FROM ratios
 """,
 )
 
+# The driver corpus has no byte-identical documents at any SF, so the
+# plain query is vacuously green (0 = 0).  Both sides therefore union in
+# the same deterministic planted duplicates (every 25th doc re-appears
+# under doc_id + 1_000_000) - the groups are non-empty and the operator's
+# group/keeper semantics are actually exercised.
+def _docs_with_planted_dups(spark, sf):
+    d = _read(spark, sf, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    )
+    return d.unionByName(planted)
+
+
+_DOCS_PLANTED_SQL = (
+    "SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 1000000 AS doc_id, text FROM documents "
+    "WHERE doc_id % 25 = 0"
+)
+
 _register(
     "exact_dup_groups",
-    lambda spark, sf: ND.exact_dup_groups(_read(spark, sf, "documents")),
+    lambda spark, sf: ND.exact_dup_groups(_docs_with_planted_dups(spark, sf)),
+    f"WITH docs2 AS ({_DOCS_PLANTED_SQL}) "
     f"SELECT sha256({_NORM_SQL}) AS fingerprint, COUNT(*) AS n, "
-    "MIN(doc_id) AS keeper FROM documents "
+    "MIN(doc_id) AS keeper FROM docs2 "
     f"GROUP BY sha256({_NORM_SQL}) HAVING COUNT(*) > 1",
 )
 
@@ -1014,8 +1053,11 @@ WHERE floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0 + 0.5)
 """,
 )
 
+# bigint fold mirrors operators/neardup._minhash_term: first 15 hex
+# digits of md5 (60 bits, exact in int64) parsed base-16
 _MH_COLS_SQL = ", ".join(
-    f"list_min(list_transform({_SHINGLES_SQL}, x -> md5('{s}:' || x))) "
+    f"list_min(list_transform({_SHINGLES_SQL}, x -> "
+    f"CAST(concat('0x', substr(md5('{s}:' || x), 1, 15)) AS BIGINT))) "
     f"AS mh{s}"
     for s in range(ND.MINHASH_SEEDS)
 )
@@ -1031,10 +1073,10 @@ _LSH_BAND_SQL = " UNION ALL ".join(
     + str(band)
     + "' || '|' || "
     + " || '|' || ".join(
-        f"mh{band * (ND.MINHASH_SEEDS // ND.LSH_BANDS) + r}"
+        f"CAST(mh{band * (ND.MINHASH_SEEDS // ND.LSH_BANDS) + r} AS VARCHAR)"
         for r in range(ND.MINHASH_SEEDS // ND.LSH_BANDS)
     )
-    + f") AS band_key FROM sig WHERE mh{band * (ND.MINHASH_SEEDS // ND.LSH_BANDS)} IS NOT NULL"
+    + ") AS band_key FROM sig WHERE mh0 IS NOT NULL"
     for band in range(ND.LSH_BANDS)
 )
 
@@ -1047,6 +1089,40 @@ bands AS ({_LSH_BAND_SQL})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+)
+
+# LSH candidates + exact-Jaccard verification on the candidate set only
+# (operators/neardup.lsh_verified_pairs): the precision stage a 100 TB
+# dedup acts on.  Result rows are a subset of lsh_candidate_pairs.
+_register(
+    "lsh_verified_pairs",
+    lambda spark, sf: ND.lsh_verified_pairs(
+        _read(spark, sf, "documents"), threshold=0.2
+    ),
+    f"""
+WITH sig AS (SELECT doc_id, {_MH_COLS_SQL} FROM documents),
+bands AS ({_LSH_BAND_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+  floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0 + 0.5) / 10000.0
+    AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0 + 0.5)
+  / 10000.0 >= 0.2
 """,
 )
 
@@ -1064,6 +1140,50 @@ _register(
         _read(spark, sf, "documents")
     ),
     f"SELECT doc_id, {_SIMHASH_BIT_SQL} AS simhash FROM documents",
+)
+
+# 32-bit twin of _SIMHASH_BIT_SQL for the pairing operator (the pairing
+# half needs more bits than the 16-bit fingerprint demo to make banding
+# selective; md5 caps the exact oracle at 32 hex digits)
+_SIMHASH32_BIT_SQL = " || ".join(
+    f"(CASE WHEN list_sum(list_transform({_WORDS_SQL}, w -> CASE WHEN "
+    f"upper(substr(md5(w), {j + 1}, 1)) IN "
+    "('8','9','A','B','C','D','E','F') THEN 1 ELSE -1 END)) > 0 "
+    "THEN '1' ELSE '0' END)"
+    for j in range(32)
+)
+
+# banded SimHash near-dup pairing: pigeonhole guarantees every pair with
+# hamming <= bands-1 shares a band, so the band join is complete AND
+# linear; the hamming filter removes band-collision false positives.
+_register(
+    "simhash_neardup_pairs",
+    lambda spark, sf: ND.simhash_neardup_pairs(
+        _read(spark, sf, "documents"), bits=32, bands=4, max_hamming=3
+    ),
+    f"""
+WITH sh AS (SELECT doc_id, {_SIMHASH32_BIT_SQL} AS simhash FROM documents),
+b AS (
+  SELECT doc_id, simhash,
+    unnest([substr(simhash, 1, 8), substr(simhash, 9, 8),
+            substr(simhash, 17, 8), substr(simhash, 25, 8)]) AS band,
+    unnest([0, 1, 2, 3]) AS band_no
+  FROM sh
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         a.simhash AS sim_a, b2.simhash AS sim_b
+  FROM b a JOIN b b2
+    ON a.band_no = b2.band_no AND a.band = b2.band
+   AND a.doc_id < b2.doc_id
+)
+SELECT doc_a, doc_b,
+  len(list_filter(range(1, 33),
+      i -> substr(sim_a, i, 1) <> substr(sim_b, i, 1))) AS hamming
+FROM cand
+WHERE len(list_filter(range(1, 33),
+      i -> substr(sim_a, i, 1) <> substr(sim_b, i, 1))) <= 3
+""",
 )
 
 _register(
@@ -1112,11 +1232,16 @@ _BUCKET_SQL = " || ".join(
     for plane in _PLANES
 )
 
+# multi-probe (radius 1): candidate buckets = query bucket + every
+# 1-bit flip.  With 8 planes over 64 dims the query's own bucket is
+# empty at small SF (recall literally 0) - the probe ring is what makes
+# the operator's evidence non-vacuous AND is the standard production
+# fix.  The oracle expresses the same set as hamming(bucket, qb) <= 1.
 _register(
     "embedding_lsh_top10",
     lambda spark, sf: SIM.lsh_cosine_topk(
         _read(spark, sf, "embeddings"), query_vec_id=0, dims=_EMB_DIMS,
-        k=10, n_planes=8,
+        k=10, n_planes=8, probe_radius=1,
     ),
     f"""
 WITH sig AS (
@@ -1129,7 +1254,10 @@ SELECT vec_id,
   floor(list_dot_product(v, qv) /
     (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
     * 10000.0 + 0.5) / 10000.0 AS cosine
-FROM sig, q WHERE bucket = qb AND vec_id <> 0
+FROM sig, q
+WHERE len(list_filter(range(1, 9),
+      i -> substr(bucket, i, 1) <> substr(qb, i, 1))) <= 1
+  AND vec_id <> 0
 ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """,
 )
@@ -1729,6 +1857,117 @@ _register(
 )
 
 
+# ---------------------------------------------------------------------------
+# Connected components over the mention graph (operators/graph.py):
+# weakly-connected components of the sentence<->entity bipartite graph,
+# reported as component sizes.  The oracle is a DuckDB recursive-CTE
+# transitive closure (exact but O(nodes x component) - fine at gate SF,
+# which is precisely why the Spark side uses min-label propagation
+# instead).
+# ---------------------------------------------------------------------------
+
+from ..operators.graph import connected_components  # noqa: E402
+
+
+def _mention_component_sizes(spark, sf):
+    edges = P.mention_edges(_sentences(spark, sf)).select("subj", "obj")
+    cc = connected_components(edges, max_iter=20)
+    return (
+        cc.groupBy("component")
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy(F.col("n_nodes").desc(), F.col("component").asc())
+    )
+
+
+_ENTITY_ID_SQL = uuid5_sql(chr(39) + "entity" + chr(39), "label", "ner_label")
+
+_register(
+    "mention_component_sizes",
+    _mention_component_sizes,
+    f"""
+WITH RECURSIVE {sentence_ctes()},
+edges AS (
+  SELECT subj, obj FROM (
+    SELECT DISTINCT s.sentence_id AS subj, {_ENTITY_ID_SQL} AS obj
+    FROM sentences s, {gazetteer_values()}
+    WHERE contains(' ' || lower(s.cleaned) || ' ', ' ' || g.label || ' '))
+),
+und AS (
+  SELECT subj AS a, obj AS b FROM edges
+  UNION SELECT obj, subj FROM edges
+),
+reach(node, r) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT reach.node, und.b FROM reach JOIN und ON reach.r = und.a
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT component, COUNT(*) AS n_nodes FROM comp GROUP BY component
+ORDER BY n_nodes DESC, component ASC
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal feature stats (operators/multimodal.py): the deterministic
+# synthetic media table runs through the Arrow-batched mapInPandas
+# feature extractor; the oracle reproduces payload + feature arithmetic
+# exactly (sha256-derived fake decode, 2-byte folds / 65536).
+# ---------------------------------------------------------------------------
+
+
+def _media_feature_stats(spark, sf):
+    from ..operators import multimodal as MM
+
+    del sf  # the media table is synthesized (no testdata analog)
+    feats = MM.extract_features(MM.synth_media(spark, n=64, seed=42))
+    return feats.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.sum("n_bytes").alias("n_bytes_total"),
+        (
+            F.floor(
+                F.avg(F.element_at("features", 1).cast("double")) * 10000.0
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("f0_avg"),
+        (
+            F.floor(
+                F.avg(F.element_at("features", 16).cast("double"))
+                * 10000.0
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("f15_avg"),
+    )
+
+
+_register(
+    "media_feature_stats",
+    _media_feature_stats,
+    """
+WITH m AS (
+  SELECT range AS id,
+    (['image', 'audio', 'video'])[CAST(range % 3 + 1 AS INTEGER)] AS kind,
+    sha256(concat('payload:42:', CAST(range AS VARCHAR))) AS payload_hex
+  FROM range(64)
+),
+f AS (
+  SELECT kind, length(payload_hex) AS n_bytes,
+    CAST(CAST(concat('0x', substr(sha256(payload_hex), 1, 4)) AS BIGINT)
+         AS DOUBLE) / 65536.0 AS f0,
+    CAST(CAST(concat('0x', substr(sha256(payload_hex), 61, 4)) AS BIGINT)
+         AS DOUBLE) / 65536.0 AS f15
+  FROM m
+)
+SELECT kind, COUNT(*) AS n, CAST(SUM(n_bytes) AS BIGINT) AS n_bytes_total,
+  floor(AVG(f0) * 10000.0 + 0.5) / 10000.0 AS f0_avg,
+  floor(AVG(f15) * 10000.0 + 0.5) / 10000.0 AS f15_avg
+FROM f GROUP BY kind
+""",
+)
+
+
 # IVF ANN (MLlib KMeans coarse quantizer) - not SQL-expressible, so this
 # entry has no oracle twin: the driver records its weaker rows-only
 # check, and the recall-vs-brute-force bound is pinned in
@@ -1737,7 +1976,131 @@ _register(
     "embedding_ivf_top10",
     lambda spark, sf: SIM.ivf_topk(
         _read(spark, sf, "embeddings"), query_vec_id=0, k=10,
-        n_cells=16, n_probe=4,
+        n_cells=16, n_probe=4, index_tag=sf,
     ),
     None,
+)
+
+
+# ---------------------------------------------------------------------------
+# Temporal operators (operators/temporal.py): as-of join and gap-based
+# sessionization - engine extensions the reference corpus has no analog
+# for; both single-shuffle window compositions (PLANS.md).
+# ---------------------------------------------------------------------------
+
+from ..operators.temporal import asof_join, sessionize  # noqa: E402
+
+
+def _purchase_last_view(spark, sf):
+    ev = _read(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    j = asof_join(
+        purchases, views, key="user_id", left_ts="ts", right_ts="ts",
+        payload=["event_id", "ts"],
+    )
+    # nulls (no prior view) are coalesced to sentinels on BOTH sides so
+    # pandas never widens the id column to float
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.coalesce(F.col("event_id_asof"), F.lit(-1)).alias("view_id"),
+        F.coalesce(
+            F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss"),
+            F.lit("never"),
+        ).alias("view_ts"),
+    )
+
+
+_register(
+    "purchase_last_view_asof",
+    _purchase_last_view,
+    """
+SELECT a.event_id AS purchase_id, a.user_id AS user_id,
+  strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+  COALESCE(b.event_id, -1) AS view_id,
+  COALESCE(strftime(b.ts, '%Y-%m-%d %H:%M:%S'), 'never') AS view_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
+  ON a.user_id = b.user_id AND a.ts >= b.ts
+""",
+)
+
+
+def _user_sessions(spark, sf):
+    ev = _read(spark, sf, "events")
+    s = sessionize(ev, key="user_id", ts="ts", gap_seconds=1800)
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias(
+            "total_value"
+        ),
+    )
+
+
+_register(
+    "user_sessions",
+    _user_sessions,
+    """
+WITH o AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         OR epoch_us(ts) - epoch_us(lag(ts) OVER
+             (PARTITION BY user_id ORDER BY ts)) > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, value,
+    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+      AS session_idx
+  FROM o
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, session_idx
+""",
+)
+
+
+# ROLLUP aggregation (subtotal + grand-total rows); NULL group markers
+# coalesced to 'ALL' on both sides so pandas string compare is stable.
+_register(
+    "lineitem_rollup",
+    lambda spark, sf: _read(spark, sf, "lineitem")
+    .rollup("l_returnflag", "l_linestatus")
+    .agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias(
+            "sum_qty"
+        ),
+    )
+    .select(
+        F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias(
+            "l_returnflag"
+        ),
+        F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias(
+            "l_linestatus"
+        ),
+        "n",
+        "sum_qty",
+    ),
+    "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+    "COALESCE(l_linestatus, 'ALL') AS l_linestatus, COUNT(*) AS n, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+    "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
 )

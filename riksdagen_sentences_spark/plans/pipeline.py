@@ -123,10 +123,12 @@ def sentences(base: DataFrame) -> DataFrame:
     # pure JVM function of the key column 'text', and keeping only
     # fixed-size payloads (ints/doubles) lets both salted phases run as
     # HashAggregate with map-side partials instead of SortAggregate
+    # non-key payloads: score/word_count are functions of text (dependent);
+    # MIN(sent_idx) is the first-occurrence index (wanted semantics) - see
+    # the salted_dedup contract
     deduped = salted_dedup(
         accepted.drop("cleaned"),
         keys=["text", "document_id", "lang"],
-        order_col="sent_idx",
     ).withColumn("cleaned", C.clean_sentence_col(F.col("text")))
     return deduped.select(
         uuid5_col(F.lit("sentence"), "text", "document_id", "lang").alias(
@@ -279,14 +281,21 @@ def normalizes_to_edges(token_base_df: DataFrame) -> DataFrame:
 
 
 def links_to_edges(
-    token_base_df: DataFrame, spark: SparkSession
+    token_base_df: DataFrame,
+    spark: SparkSession,
+    lexemes: DataFrame | None = None,
 ) -> DataFrame:
     """(rawtoken, linksTo, lexeme) - the Wikidata-lexeme link the
     reference schema defines but never writes (create.py:149-155,
     insert.py:183-196 raises NotImplementedError).  Broadcast equi-join
-    against the tiny lexeme dictionary - idiomatic Spark beats a UDF
-    here because the match condition is pure equality."""
-    lex = F.broadcast(dims.lexeme_dictionary(spark))
+    against the lexeme dictionary - idiomatic Spark beats a UDF here
+    because the match condition is pure equality.  ``lexemes`` defaults
+    to the 15-entry oracle-twinned demo dict; pass
+    ``dims.synthetic_lexeme_dictionary(spark)`` for the ~100k-entry
+    production-sized dictionary (still a few-MB broadcast)."""
+    lex = F.broadcast(
+        lexemes if lexemes is not None else dims.lexeme_dictionary(spark)
+    )
     acc = token_base_df.filter(F.col("tok_accepted"))
     joined = acc.join(
         lex,

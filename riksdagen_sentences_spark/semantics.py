@@ -29,7 +29,13 @@ strictly deterministic):
   of fasttext (reference models/sentence.py:193-209),
 - UUIDs are deterministic UUIDv5-style identifiers derived from sha256
   (see ``ids.py``), replacing the reference's random ``uuid.uuid4()``
-  (models/sentence.py:189-191) per BASELINE.json north rule.
+  (models/sentence.py:189-191) per BASELINE.json north rule,
+- the canonical rawtoken ``score`` is the MIN over all occurrences of the
+  (text, lexical_category, language) key, not the reference's
+  first-insert score (models/crud/insert.py:90-97): "first insert" is
+  undefined under distributed/retryable execution, and MIN is the
+  deterministic order-independent reduction (operators/dedup.py contract;
+  the DuckDB oracle uses the identical MIN).
 """
 
 from __future__ import annotations

@@ -9,6 +9,7 @@ always joined with ``F.broadcast`` - never shuffled.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .. import semantics as S
 
@@ -39,3 +40,37 @@ def lexeme_dictionary(spark: SparkSession) -> DataFrame:
         list(S.LEXEME_DICTIONARY),
         "lexeme_id string, form string, lang string, category_qid string",
     )
+
+
+def synthetic_lexeme_dictionary(
+    spark: SparkSession, n: int = 100_000, seed: int = 42
+) -> DataFrame:
+    """Production-sized synthetic lexeme dictionary (~100k entries, the
+    scale Wikidata's Swedish lexeme set actually has) for broadcast-join
+    budget tests: the 15-entry demo dict never exercises the broadcast
+    size the north star worries about.
+
+    Distributed generation (spark.range + column exprs, no driver loop);
+    includes the 15 demo entries verbatim so oracle-twinned matches stay
+    identical, then pads with deterministic synthetic forms that cannot
+    collide with real tokens ('zlex' prefix).  ~100k rows x ~40 B is a
+    few MB broadcast - well inside a 1000-executor budget."""
+    demo = lexeme_dictionary(spark)
+    langs = list(S.ACCEPTED_LANGUAGES)
+    lang_arr = F.array(*[F.lit(x) for x in langs])
+    # forms are digit-free (digits would be rejected by the token accept
+    # filter): map the id's decimal digits to letters a-j
+    synth = spark.range(n - len(S.LEXEME_DICTIONARY)).select(
+        F.concat(F.lit("L9"), F.col("id")).alias("lexeme_id"),
+        F.concat(
+            F.lit("zlex"),
+            F.translate(
+                F.col("id").cast("string"), "0123456789", "abcdefghij"
+            ),
+        ).alias("form"),
+        F.element_at(
+            lang_arr, (F.col("id") % len(langs) + 1).cast("int")
+        ).alias("lang"),
+        F.lit("Q1084").alias("category_qid"),
+    )
+    return demo.unionByName(synth)

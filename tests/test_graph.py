@@ -78,3 +78,18 @@ def test_connected_components_on_pipeline_graph(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A path graph of length > max_iter cannot converge in max_iter
+    min-label rounds - the operator must raise, never return partial
+    labels as final."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    chain = spark.range(12).select(
+        F.format_string("n%03d", F.col("id")).alias("subj"),
+        F.format_string("n%03d", F.col("id") + 1).alias("obj"),
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3)

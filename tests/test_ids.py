@@ -53,3 +53,21 @@ def test_uuid5_sql_matches_python():
         exprs = [f"'{p}'" for p in parts]
         got = duckdb.sql(f"SELECT {uuid5_sql(*exprs)} AS u").fetchone()[0]
         assert got == uuid5_py(*parts), parts
+
+
+def test_uuid5_null_handling_explicit(spark):
+    """NULL parts are encoded as a 0x00 sentinel on ALL THREE sides -
+    uuid5(a, NULL, b) != uuid5(a, b), and Spark == Python == DuckDB."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from riksdagen_sentences_spark.ids import uuid5_col, uuid5_py, uuid5_sql
+
+    assert uuid5_py("a", None, "b") != uuid5_py("a", "b")
+    df = spark.createDataFrame(
+        [("a", None, "b")], "x string, y string, z string"
+    )
+    got = df.select(uuid5_col("x", "y", "z").alias("u")).first()["u"]
+    assert got == uuid5_py("a", None, "b")
+    sql = uuid5_sql("'a'", "NULL", "'b'")
+    assert duckdb.sql(f"SELECT {sql} AS u").fetchone()[0] == got

@@ -88,3 +88,54 @@ def test_html_ingestion_path(spark):
     assert any("stora beslut" in t for t in texts)
     assert all("<" not in t for t in texts)
     assert any("andra beslut" in t for t in texts)
+
+
+def test_salted_dedup_check_dependence_raises(spark):
+    """check_dependence must catch a non-key column with >1 distinct
+    value per key (the contract-violation footgun)."""
+    df = spark.createDataFrame(
+        [("k", 1.0), ("k", 2.0)], "text string, payload double"
+    )
+    with pytest.raises(ValueError, match="distinct value"):
+        salted_dedup(
+            df, keys=["text"], salt_buckets=4, check_dependence=True
+        )
+    # the same frame without the check reduces with MIN (documented)
+    out = salted_dedup(df, keys=["text"], salt_buckets=4).collect()
+    assert out[0]["payload"] == 1.0
+
+
+def test_links_to_broadcast_holds_at_100k_dict(spark):
+    """The 15-entry demo dict never exercises the broadcast budget; the
+    ~100k-entry production-sized dict must (a) still plan as a broadcast
+    hash join (no shuffle of the token side), (b) keep every demo-dict
+    match, and (c) find planted synthetic-form matches."""
+    from riksdagen_sentences_spark.sources import dims
+
+    files = files_table(spark, n_rows=300, seed=7)
+    toks = P.token_base(P.sentence_base(P.docs_from_files(files)))
+    big = dims.synthetic_lexeme_dictionary(spark, n=100_000)
+    assert big.count() == 100_000
+    edges_big = P.links_to_edges(toks, spark, lexemes=big)
+    plan = edges_big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    big_set = {(r["subj"], r["obj"]) for r in edges_big.collect()}
+    demo_set = {
+        (r["subj"], r["obj"])
+        for r in P.links_to_edges(toks, spark).collect()
+    }
+    assert demo_set <= big_set  # demo entries are a verbatim subset
+    # synthetic-form match: id 20 -> form 'zlexca', lang 'sv' (20 % 5
+    # = 0).  Feed token rows directly so the check pins the JOIN, not
+    # the language detector.
+    direct = spark.createDataFrame(
+        [
+            ("zlexca", "NOUN", "sv", "zlexca", True),
+            ("missing", "NOUN", "sv", "missing", True),
+        ],
+        "raw string, pos string, lang string, norm string, "
+        "tok_accepted boolean",
+    )
+    hits = P.links_to_edges(direct, spark, lexemes=big).collect()
+    assert [r["obj"] for r in hits] == ["L920"]

@@ -1,0 +1,100 @@
+"""As-of join and sessionization semantics on hand-built frames."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from riksdagen_sentences_spark.operators.temporal import (
+    asof_join,
+    sessionize,
+)
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts(10), "p1"),
+            (1, _ts(20), "p2"),
+            (2, _ts(5), "p3"),   # no prior right row
+            (3, _ts(30), "p4"),  # equal-ts right row (inclusive)
+        ],
+        "user bigint, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(8), 100),
+            (1, _ts(15), 200),
+            (1, _ts(25), 300),  # after p2 - never attached
+            (2, _ts(6), 400),   # after p3 - not attached
+            (3, _ts(30), 500),  # ts == left ts - attached (inclusive)
+        ],
+        "user bigint, ts timestamp, rid int",
+    )
+    out = {
+        r["tag"]: r["rid_asof"]
+        for r in asof_join(
+            left, right, key="user", left_ts="ts", right_ts="ts",
+            payload=["rid"],
+        ).collect()
+    }
+    assert out == {"p1": 100, "p2": 200, "p3": None, "p4": 500}
+
+
+def test_asof_join_single_shuffle_no_smj(spark):
+    left = spark.range(100).select(
+        (F.col("id") % 10).alias("user"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+        F.col("id").alias("lid"),
+    )
+    right = spark.range(50).select(
+        (F.col("id") % 10).alias("user"),
+        F.timestamp_seconds(F.col("id") * 90).alias("ts"),
+        F.col("id").alias("rid"),
+    )
+    out = asof_join(
+        left, right, key="user", left_ts="ts", right_ts="ts",
+        payload=["rid"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the whole operator is union + ONE window sort - no join node at all
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert out.count() == 100
+
+
+def test_sessionize_gap_semantics(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(0)),
+            (1, _ts(10)),        # same session (gap 10 min < 30)
+            (1, _ts(50)),        # new session (gap 40 min)
+            (1, _ts(50, 30)),    # same session
+            (2, _ts(0)),         # separate user
+        ],
+        "user bigint, ts timestamp",
+    )
+    out = sessionize(ev, key="user", ts="ts", gap_seconds=1800)
+    got = {
+        (r["user"], r["ts"].minute, r["ts"].second): r["session_idx"]
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 0, 0): 0,
+        (1, 10, 0): 0,
+        (1, 50, 0): 1,
+        (1, 50, 30): 1,
+        (2, 0, 0): 0,
+    }
+
+
+def test_sessionize_boundary_exact(spark):
+    """gap == gap_seconds does NOT start a new session (strict >)."""
+    ev = spark.createDataFrame(
+        [(1, _ts(0)), (1, _ts(30))],  # exactly 1800s apart
+        "user bigint, ts timestamp",
+    )
+    out = sessionize(ev, key="user", ts="ts", gap_seconds=1800)
+    assert {r["session_idx"] for r in out.collect()} == {0}
