@@ -76,14 +76,31 @@ def main() -> None:
             extras["triples"] / timings["triples_full_graph"], 1
         )
 
-    # q2: accepted canonical sentences (UDF + salted dedup path)
-    timed("sentences", lambda: P.sentences(P.sentence_base(docs)).count())
+    # q2: accepted canonical sentences (UDF + salted dedup path) through
+    # the production cut-point shape (persist sentence_base, cost
+    # INCLUDED in the timing): unpersisted lineage pays the interpreted
+    # HOF fan-out of `cleaned` into the langid trees ~50x per row - the
+    # documented anti-pattern (pipeline.sentences docstring, PLANS.md)
+    def q_sentences():
+        base = P.sentence_base(docs).persist()
+        n = P.sentences(base).count()
+        spark.catalog.clearCache()
+        return n
 
-    # q3: rawtoken canonicalization (Zipf-skewed salted dedup)
-    timed(
-        "rawtokens",
-        lambda: P.rawtokens(P.token_base(P.sentence_base(docs))).count(),
-    )
+    timed("sentences", q_sentences)
+
+    # q3: rawtoken canonicalization (Zipf-skewed salted dedup) through
+    # the production cut-point shape: token_base consumes the persisted
+    # sentence base (the langid columns are sentence-level and would
+    # otherwise be inlined per token x per consumer - the documented
+    # anti-pattern in PLANS.md)
+    def q_rawtokens():
+        base = P.sentence_base(docs).persist()
+        n = P.rawtokens(P.token_base(base)).count()
+        spark.catalog.clearCache()
+        return n
+
+    timed("rawtokens", q_rawtokens)
 
     # q4: MinHash-LSH near-dup candidates over documents
     timed(

@@ -33,6 +33,79 @@ def compound_token_without_syntactic_head(token: str, head: str) -> str:
     return token.replace(head, "").strip()
 
 
+# Evolvable-request-field defaults (reference models/api/fields.py:1-
+# and models/api/__init__.py:114-157): a missing or value-less field is
+# replaced by its default stub IN the echoed body, so clients learn the
+# schema by submitting partial documents.  read-only fields are never
+# consumed from the request.
+DEFAULT_FIELDS: dict[str, dict] = {
+    "token": {"type": "text", "name": "token", "read-only": False,
+              "value": ""},
+    "lexical_category_qid": {
+        "type": "text", "name": "lexical_category_qid",
+        "read-only": False, "value": "",
+    },
+    "iso_language_code": {
+        "type": "text", "name": "iso_language_code",
+        "read-only": False, "value": "",
+    },
+    "information": {
+        "type": "text", "name": "information", "read-only": True,
+        "value": (
+            "This is an evolvable JSON API. :) Submit data.token ("
+            "+ lexical_category_qid + iso_language_code for tokens "
+            "without a space). Please remove the errors key from data "
+            "before resubmitting."
+        ),
+    },
+}
+
+
+def normalize_lookup_body(body: dict) -> tuple[dict, dict, list[str]]:
+    """Evolvable-body semantics (reference models/api/__init__.py:
+    160-240): extract (token, lexical_category_qid, iso_language_code)
+    from ``body['data']``, substituting the default field stub for any
+    missing/value-less field, and collect the validation error messages
+    the API would return alongside the (evolved) data document - data
+    and errors deliberately coexist (the reference deviates from JSON
+    API 1.1 here to store state in the network).
+
+    Returns (params, evolved_data, errors)."""
+    errors: list[str] = []
+    data = dict(body.get("data") or {}) if isinstance(body, dict) else {}
+    if not data:
+        return (
+            {"token": "", "lexical_category_qid": "",
+             "iso_language_code": ""},
+            {k: dict(v) for k, v in DEFAULT_FIELDS.items()},
+            ["data object is missing"],
+        )
+    params: dict = {}
+    for key in ("token", "lexical_category_qid", "iso_language_code"):
+        field = data.get(key)
+        if isinstance(field, dict) and field.get("value"):
+            params[key] = field["value"]
+        else:
+            params[key] = ""
+            data[key] = dict(DEFAULT_FIELDS[key])
+    data.setdefault("information", dict(DEFAULT_FIELDS["information"]))
+    if not params["token"].strip():
+        errors.append("Token cannot be empty.")
+    elif not is_compound_token(params["token"]):
+        # simple tokens need the full key triple (the information
+        # field's usage contract)
+        if not params["lexical_category_qid"]:
+            errors.append(
+                "lexical_category_qid cannot be empty for a token "
+                "without a space."
+            )
+        if not params["iso_language_code"]:
+            errors.append("iso_language_code cannot be empty.")
+    elif not params["iso_language_code"]:
+        errors.append("iso_language_code cannot be empty.")
+    return params, data, errors
+
+
 def validate_lookup_params(
     token: str, category_qid: str, iso_code: str
 ) -> None:

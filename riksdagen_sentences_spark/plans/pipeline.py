@@ -113,6 +113,16 @@ def sentences(base: DataFrame) -> DataFrame:
     language) (models/crud/create.py:85-96) with deterministic uuid5
     replacing uuid4 (models/sentence.py:189-191).  Salted two-phase dedup
     defuses hot-document skew (north rule).
+
+    EXECUTION CONTRACT (PLANS.md): consume ``base`` from a persisted or
+    materialized cut-point (production materializes sentence_base as a
+    table, plans/materialize.py; ``triples()`` persists it).  When
+    ``base`` is an unpersisted expression lineage, CollapseProject
+    inlines the ``cleaned`` expression into every one of the ~50
+    references inside the langid stop-word/trigram HOF trees - HOFs are
+    interpreted and never subexpression-eliminated, so each row pays
+    ~50 clean-sentence evaluations (~4x wall time, measured at sf0.1).
+    Materializing the cut-point turns ``cleaned`` into a column read.
     """
     accepted = base.filter(
         C.sentence_accept_col(
@@ -122,10 +132,10 @@ def sentences(base: DataFrame) -> DataFrame:
     # drop 'cleaned' before the dedup and recompute it after: it is a
     # pure JVM function of the key column 'text', and keeping only
     # fixed-size payloads (ints/doubles) lets both salted phases run as
-    # HashAggregate with map-side partials instead of SortAggregate
-    # non-key payloads: score/word_count are functions of text (dependent);
-    # MIN(sent_idx) is the first-occurrence index (wanted semantics) - see
-    # the salted_dedup contract
+    # HashAggregate with map-side partials instead of SortAggregate.
+    # Non-key payloads: score/word_count are functions of text
+    # (dependent); MIN(sent_idx) is the first-occurrence index (wanted
+    # semantics) - see the salted_dedup contract.
     deduped = salted_dedup(
         accepted.drop("cleaned"),
         keys=["text", "document_id", "lang"],

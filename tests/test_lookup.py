@@ -46,3 +46,64 @@ def test_lookup_compound(spark):
     page = L.lookup_sentences(spark, docs, "och att", "Q1084", "sv", limit=5)
     for r in page.collect():
         assert "och att" in r["text"].lower()
+
+
+def test_normalize_lookup_body_evolvable_defaults():
+    """Reference models/api/__init__.py:160-240: missing fields are
+    replaced by default stubs in the echoed document; data and errors
+    coexist; read-only information field always present."""
+    from riksdagen_sentences_spark.plans.lookup import (
+        DEFAULT_FIELDS,
+        normalize_lookup_body,
+    )
+
+    # fully-formed simple-token request -> no errors, params extracted
+    body = {
+        "data": {
+            "token": {"type": "text", "name": "token", "value": "och"},
+            "lexical_category_qid": {"type": "text", "value": "Q36484"},
+            "iso_language_code": {"type": "text", "value": "sv"},
+        }
+    }
+    params, data, errors = normalize_lookup_body(body)
+    assert errors == []
+    assert params == {
+        "token": "och",
+        "lexical_category_qid": "Q36484",
+        "iso_language_code": "sv",
+    }
+    assert data["information"]["read-only"] is True
+
+    # empty data object is falsy -> treated as missing, exactly like the
+    # reference's `if body.get("data"):` truthiness check
+    params, data, errors = normalize_lookup_body({"data": {}})
+    assert errors == ["data object is missing"]
+
+    # present-but-valueless fields -> defaulted stubs + empty-token error
+    params, data, errors = normalize_lookup_body(
+        {"data": {"token": {"value": ""}}}
+    )
+    assert params["token"] == ""
+    assert data["token"] == DEFAULT_FIELDS["token"]
+    assert "Token cannot be empty." in errors
+
+    # simple token missing its category -> field-specific error AND the
+    # defaulted stub echoed back
+    params, data, errors = normalize_lookup_body(
+        {"data": {"token": {"value": "och"},
+                  "iso_language_code": {"value": "sv"}}}
+    )
+    assert any("lexical_category_qid" in e for e in errors)
+    assert data["lexical_category_qid"]["value"] == ""
+
+    # compound token (has a space) needs only token + iso code
+    params, data, errors = normalize_lookup_body(
+        {"data": {"token": {"value": "table scan"},
+                  "iso_language_code": {"value": "en"}}}
+    )
+    assert errors == []
+
+    # missing data object entirely
+    params, data, errors = normalize_lookup_body({})
+    assert errors == ["data object is missing"]
+    assert set(data) == set(DEFAULT_FIELDS)

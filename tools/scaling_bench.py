@@ -30,7 +30,7 @@ LEVELS = tuple(
     int(x)
     for x in os.environ.get("SPARK_SCALING_LEVELS", "8,32").split(",")
 )
-MEASURE_ITERS = 3
+MEASURE_ITERS = int(os.environ.get("SPARK_SCALING_ITERS", "3"))
 
 
 def run_level(parallelism: int, input_path: str) -> dict:
