@@ -2104,3 +2104,68 @@ _register(
     "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
     "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
 )
+
+
+# ---------------------------------------------------------------------------
+# Percentiles (exact, interpolated - Spark `percentile` == DuckDB
+# quantile_cont) and multi-window ranking - Q-class breadth beyond the
+# reference's aggregate surface.
+# ---------------------------------------------------------------------------
+
+_register(
+    "event_value_percentiles",
+    lambda spark, sf: _read(spark, sf, "events")
+    .groupBy("event_type")
+    .agg(
+        F.expr(
+            "percentile(value, array(0.25, 0.5, 0.9))"
+        ).alias("__p")
+    )
+    .select(
+        "event_type",
+        (F.floor(F.element_at("__p", 1) * 10000.0 + F.lit(0.5)) / 10000.0)
+        .alias("p25"),
+        (F.floor(F.element_at("__p", 2) * 10000.0 + F.lit(0.5)) / 10000.0)
+        .alias("p50"),
+        (F.floor(F.element_at("__p", 3) * 10000.0 + F.lit(0.5)) / 10000.0)
+        .alias("p90"),
+    ),
+    "SELECT event_type, "
+    "floor(quantile_cont(value, 0.25) * 10000.0 + 0.5) / 10000.0 AS p25, "
+    "floor(quantile_cont(value, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50, "
+    "floor(quantile_cont(value, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90 "
+    "FROM events GROUP BY event_type",
+)
+
+
+def _events_ranked(spark, sf):
+    ev = _read(spark, sf, "events")
+    by_value = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    by_time = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.rank().over(by_value).alias("value_rank"),
+        F.dense_rank().over(by_value).alias("value_dense_rank"),
+        F.coalesce(F.lag("event_id").over(by_time), F.lit(-1)).alias(
+            "prev_event_id"
+        ),
+    )
+
+
+_register(
+    "events_ranked",
+    _events_ranked,
+    "SELECT user_id, event_id, "
+    "CAST(RANK() OVER (PARTITION BY user_id ORDER BY value DESC, "
+    "event_id ASC) AS INTEGER) AS value_rank, "
+    "CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY value DESC, "
+    "event_id ASC) AS INTEGER) AS value_dense_rank, "
+    "COALESCE(LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts ASC, "
+    "event_id ASC), -1) AS prev_event_id "
+    "FROM events",
+)

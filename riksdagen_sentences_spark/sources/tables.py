@@ -71,6 +71,41 @@ class ParquetCatalog:
         )
         self._snapshot(table, "overwrite_partitions", df)
 
+    def write_bucketed(
+        self,
+        table: str,
+        df: DataFrame,
+        bucket_by: list[str],
+        n_buckets: int,
+        sort_by: list[str] | None = None,
+    ) -> None:
+        """Bucketed external table (Iceberg bucket-transform analog).
+
+        Bucket metadata must live in the session catalog, so this goes
+        through ``saveAsTable`` (with the data files still under the
+        catalog root).  Two tables bucketed on the same keys with the
+        same bucket count join WITHOUT any Exchange - the shuffle is
+        paid once at write time and amortized over every subsequent
+        join, which is the decisive co-location primitive at 100 TB
+        (the occursIn edge table joining rawtokens, say).  ``sort_by``
+        additionally skips the join-side Sort."""
+        w = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", self._path(table))
+            .bucketBy(n_buckets, *bucket_by)
+        )
+        if sort_by:
+            w = w.sortBy(*sort_by)
+        w.saveAsTable(table)
+        self._snapshot(table, "write_bucketed", df)
+
+    def read_table(self, table: str) -> DataFrame:
+        """Catalog read - REQUIRED for bucketed tables (a raw parquet
+        read of the same files would drop the bucket spec and
+        re-shuffle on join)."""
+        return self.spark.table(table)
+
     # -- metadata (".snapshots" / ".files" analogs) --------------------
 
     def _meta_dir(self, table: str) -> str:
