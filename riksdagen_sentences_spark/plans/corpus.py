@@ -844,16 +844,34 @@ _register(
     "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
 )
 
+# Every sf0.01 customer has at least one order, so the plain anti-join
+# is vacuously green (0 = 0 rows).  Both sides therefore union in the
+# same deterministic order-less "prospect" customers (every 100th
+# custkey re-appears under custkey + 1_000_000): the anti-join output is
+# non-empty AND still proves the join filters all 1500 real customers.
+def _customers_with_prospects(spark, sf):
+    c = _read(spark, sf, "customer").select("c_custkey", "c_name")
+    prospects = c.filter(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + F.lit(1_000_000)).alias("c_custkey"),
+        F.concat(F.lit("prospect of "), F.col("c_name")).alias("c_name"),
+    )
+    return c.unionByName(prospects)
+
+
 _register(
     "customers_without_orders",
-    lambda spark, sf: _read(spark, sf, "customer")
+    lambda spark, sf: _customers_with_prospects(spark, sf)
     .join(
         _read(spark, sf, "orders").select("o_custkey"),
         F.col("c_custkey") == F.col("o_custkey"),
         "left_anti",
     )
     .select("c_custkey", "c_name"),
-    "SELECT c_custkey, c_name FROM customer "
+    "WITH cust2 AS (SELECT c_custkey, c_name FROM customer UNION ALL "
+    "SELECT c_custkey + 1000000 AS c_custkey, "
+    "'prospect of ' || c_name AS c_name FROM customer "
+    "WHERE c_custkey % 100 = 0) "
+    "SELECT c_custkey, c_name FROM cust2 "
     "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
 )
 
