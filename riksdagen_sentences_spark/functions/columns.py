@@ -108,69 +108,123 @@ def round_score_col(x: Column) -> Column:
     return F.floor(x * 100.0 + F.lit(0.5)) / 100.0
 
 
-def langid_cols(cleaned: Column) -> tuple[Column, Column]:
-    """Stop-word-hit language detection as pure column expressions
-    (JVM path; semantics identical to kernels.langid.detect_language:
-    detected = argmax hit count, score = max_hits / total_hits).
+def langid_struct_col(cleaned: Column) -> Column:
+    """Stop-word-hit language detection as ONE pure column expression
+    returning struct<lang:string, score:double> (JVM path; semantics
+    identical to kernels.langid.detect_language: detected = argmax hit
+    count with LANGID_ORDER tiebreak, score = max_hits / total_hits,
+    char-trigram fallback when no stop word hits).
 
-    Returns (detected_lang, rounded_score).
+    Plan-shape note (the reason for the nested-lambda construction):
+    referencing a shared subexpression (lowered text, split words, the
+    per-language hit counts) from multiple column expressions makes
+    CollapseProject INLINE it per reference, and higher-order functions
+    are interpreted and never subexpression-eliminated - the naive
+    formulation re-evaluated the lower/split/clean trees ~40x per row.
+    Binding each shared value as a HOF LAMBDA VARIABLE
+    (transform(array(x), v -> ...)) evaluates it exactly once; inner
+    references are O(1) variable lookups.  Measured ~5x faster
+    materialization of the language columns at 100k docs.
     """
-    lowered = F.lower(cleaned)
-    words = F.split(lowered, " ")
+    order = list(S.LANGID_ORDER)
+    und = F.lit(S.UND_LANG)
 
-    def _hit_counter(stop: tuple[str, ...]):
-        return lambda w: w.isin(*stop)
+    def decide(hits_arr: Column, tri_arr: Column) -> Column:
+        def isum(arr: Column) -> Column:
+            return F.aggregate(arr, F.lit(0), lambda a, x: a + x)
 
-    hits = {
-        lang: F.size(F.filter(words, _hit_counter(stop)))
-        for lang, stop in S.LANGID_STOPWORDS.items()
-    }
-    mx = F.greatest(*hits.values())
-    total = sum(list(hits.values())[1:], start=list(hits.values())[0])
+        hit = {lg: F.element_at(hits_arr, i + 1) for i, lg in enumerate(order)}
+        tri = {lg: F.element_at(tri_arr, i + 1) for i, lg in enumerate(order)}
+        mx = F.array_max(hits_arr)
+        total = isum(hits_arr)
+        tri_mx = F.array_max(tri_arr)
+        tri_total = isum(tri_arr)
+        detected = F.when(F.lit(False), und)
+        for lg in order:
+            detected = detected.when(
+                (total > 0) & (hit[lg] == mx), F.lit(lg)
+            )
+        for lg in order:
+            detected = detected.when(
+                (total <= 0) & (tri_total > 0) & (tri[lg] == tri_mx),
+                F.lit(lg),
+            )
+        score = (
+            F.when(
+                total > 0,
+                round_score_col(mx.cast("double") / total.cast("double")),
+            )
+            .when(
+                tri_total > 0,
+                round_score_col(
+                    tri_mx.cast("double") / tri_total.cast("double")
+                ),
+            )
+            .otherwise(F.lit(0.0))
+        )
+        return F.struct(
+            detected.otherwise(und).alias("lang"), score.alias("score")
+        )
 
-    # char-trigram fallback (kernels.langid / semantics.LANGID_TRIGRAMS)
-    def _tri_count(tri: str):
-        return (
-            (F.length(lowered) - F.length(F.replace(lowered, F.lit(tri))))
-            / 3
-        ).cast("int")
+    def with_lowered(lowered: Column) -> Column:
+        def tri_count(tri: str) -> Column:
+            return (
+                (
+                    F.length(lowered)
+                    - F.length(F.replace(lowered, F.lit(tri)))
+                )
+                / 3
+            ).cast("int")
 
-    tri_hits = {
-        lang: sum(
-            [_tri_count(t) for t in tris[1:]], start=_tri_count(tris[0])
-        )
-        for lang, tris in S.LANGID_TRIGRAMS.items()
-    }
-    tri_mx = F.greatest(*tri_hits.values())
-    tri_total = sum(
-        list(tri_hits.values())[1:], start=list(tri_hits.values())[0]
-    )
+        def with_words(words: Column) -> Column:
+            def _hit_counter(stop: tuple[str, ...]):
+                return lambda w: w.isin(*stop)
 
-    detected = F.when(cleaned == "", F.lit(S.UND_LANG))
-    for lang in S.LANGID_ORDER:
-        detected = detected.when(
-            (total > 0) & (hits[lang] == mx), F.lit(lang)
+            hits_arr = F.array(
+                *[
+                    F.size(
+                        F.filter(
+                            words, _hit_counter(S.LANGID_STOPWORDS[lg])
+                        )
+                    )
+                    for lg in order
+                ]
+            )
+            tri_arr = F.array(
+                *[
+                    sum(
+                        [tri_count(t) for t in S.LANGID_TRIGRAMS[lg][1:]],
+                        start=tri_count(S.LANGID_TRIGRAMS[lg][0]),
+                    )
+                    for lg in order
+                ]
+            )
+            return F.element_at(
+                F.zip_with(F.array(hits_arr), F.array(tri_arr), decide), 1
+            )
+
+        return F.element_at(
+            F.transform(F.array(F.split(lowered, " ")), with_words), 1
         )
-    for lang in S.LANGID_ORDER:
-        detected = detected.when(
-            (total <= 0) & (tri_total > 0) & (tri_hits[lang] == tri_mx),
-            F.lit(lang),
+
+    def build(c: Column) -> Column:
+        return F.when(
+            c == "",
+            F.struct(und.alias("lang"), F.lit(0.0).alias("score")),
+        ).otherwise(
+            F.element_at(F.transform(F.array(F.lower(c)), with_lowered), 1)
         )
-    score = (
-        F.when(cleaned == "", F.lit(0.0))
-        .when(
-            total > 0,
-            round_score_col(mx.cast("double") / total.cast("double")),
-        )
-        .when(
-            tri_total > 0,
-            round_score_col(
-                tri_mx.cast("double") / tri_total.cast("double")
-            ),
-        )
-        .otherwise(F.lit(0.0))
-    )
-    return detected.otherwise(F.lit(S.UND_LANG)), score
+
+    return F.element_at(F.transform(F.array(cleaned), build), 1)
+
+
+def langid_cols(cleaned: Column) -> tuple[Column, Column]:
+    """(detected_lang, rounded_score) - field views of
+    :func:`langid_struct_col`.  Extracting two fields inlines the struct
+    tree twice (any non-materialized reference does); still ~20x fewer
+    redundant subtree evaluations than the pre-round-2 formulation."""
+    s = langid_struct_col(cleaned)
+    return s.getField("lang"), s.getField("score")
 
 
 def is_suitable_sentence_col(word_count: Column) -> Column:

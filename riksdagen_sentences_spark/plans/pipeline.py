@@ -114,15 +114,14 @@ def sentences(base: DataFrame) -> DataFrame:
     replacing uuid4 (models/sentence.py:189-191).  Salted two-phase dedup
     defuses hot-document skew (north rule).
 
-    EXECUTION CONTRACT (PLANS.md): consume ``base`` from a persisted or
-    materialized cut-point (production materializes sentence_base as a
-    table, plans/materialize.py; ``triples()`` persists it).  When
-    ``base`` is an unpersisted expression lineage, CollapseProject
-    inlines the ``cleaned`` expression into every one of the ~50
-    references inside the langid stop-word/trigram HOF trees - HOFs are
-    interpreted and never subexpression-eliminated, so each row pays
-    ~50 clean-sentence evaluations (~4x wall time, measured at sf0.1).
-    Materializing the cut-point turns ``cleaned`` into a column read.
+    EXECUTION CONTRACT (PLANS.md item 10): consume ``base`` from a
+    persisted or materialized cut-point (production materializes
+    sentence_base as a table, plans/materialize.py; ``triples()``
+    persists it).  The langid tree is single-pass since round 2
+    (lambda-bound shared subexpressions, columns.langid_struct_col),
+    but an unpersisted lineage still pays ~3x (8.6 s vs 2.9 s at
+    sf0.1): Catalyst pushes the accept filter below the dedup and
+    inlines the langid struct per field reference.
     """
     accepted = base.filter(
         C.sentence_accept_col(
