@@ -68,27 +68,63 @@ def docs_from_documents(documents: DataFrame) -> DataFrame:
     )
 
 
-def sentence_base(docs: DataFrame, use_udf_langid: bool = False) -> DataFrame:
+def sentence_rows(
+    docs: DataFrame, use_udf_sentenize: bool = False
+) -> DataFrame:
+    """documents -> (document_id, sent_idx, text), one row per sentence.
+
+    Length-gated execution: documents <= CHUNK_SIZE chars (all but the
+    rare giants) sentenize through the pure-JVM column twin
+    (clean_toc_col + split_sentences_col - whole-stage codegen, ~4x
+    faster than the Arrow round-trip); only >CHUNK_SIZE documents go
+    through the pandas UDF, whose kernel adds the 100k-char
+    chunk-backtracking the column path cannot express.  The gate is a
+    branch UNION (two pushed-filter scans), NOT a CASE WHEN - Catalyst
+    extracts Python UDFs into an unconditional ArrowEvalPython node, so
+    a conditional expression would still ship every row to Python.
+
+    Both branches implement kernels/sentenize.sentenize_document exactly
+    (for <=CHUNK_SIZE input, chunk_text is the identity, so the kernel
+    reduces to split_sentences(clean_toc(text))); equality is pinned by
+    tests and the driver oracle.
+    """
+    udf_sent = F.posexplode(U.sentenize_udf(F.col("content"))).alias(
+        "sent_idx", "text"
+    )
+    if use_udf_sentenize:
+        return docs.select("document_id", udf_sent)
+    small = docs.filter(F.length("content") <= S.CHUNK_SIZE).select(
+        "document_id",
+        F.posexplode(
+            C.split_sentences_col(C.clean_toc_col(F.col("content")))
+        ).alias("sent_idx", "text"),
+    )
+    big = docs.filter(F.length("content") > S.CHUNK_SIZE).select(
+        "document_id", udf_sent
+    )
+    return small.unionByName(big)
+
+
+def sentence_base(
+    docs: DataFrame,
+    use_udf_langid: bool = False,
+    use_udf_sentenize: bool = False,
+) -> DataFrame:
     """documents -> one row per detected sentence with cleaning + langid.
 
     Reference lifecycle models/document.py:172-200 + models/sentence.py:
     111-131: sentences with empty cleaned text or exactly one clean word
     never reach token analysis or insertion, so they are dropped here.
 
-    Language detection defaults to the pure-JVM column expression
-    (columns.langid_cols) - measured ~1.4x faster than the Arrow UDF and
-    bit-identical (tests/test_columns.py::test_langid_cols); the pandas
-    UDF variant (use_udf_langid=True) stays as the fasttext-style batch
-    kernel and is exercised in tests.
+    Sentence boundary detection is length-gated (see
+    :func:`sentence_rows`); language detection defaults to the pure-JVM
+    single-pass struct (columns.langid_struct_col) - both have
+    bit-identical Arrow-UDF twins kept for tests and as the
+    spaCy/fasttext-style batch-kernel slots.
 
     Columns: document_id, sent_idx, text, cleaned, word_count, lang, score
     """
-    sent = docs.select(
-        "document_id",
-        F.posexplode(U.sentenize_udf(F.col("content"))).alias(
-            "sent_idx", "text"
-        ),
-    )
+    sent = sentence_rows(docs, use_udf_sentenize=use_udf_sentenize)
     base = (
         sent.withColumn("cleaned", C.clean_sentence_col(F.col("text")))
         .withColumn("word_count", C.clean_word_count_col(F.col("cleaned")))

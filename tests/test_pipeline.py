@@ -248,3 +248,24 @@ def test_pr_harness_on_adversarial_corpus(spark):
     recall = tp / len(expected) if expected else 1.0
     assert precision == 1.0 and recall == 1.0, (precision, recall)
     assert len(expected) > 1000
+
+
+def test_sentence_rows_gated_equals_udf(spark):
+    """The length-gated JVM sentenizer must equal the pandas-UDF kernel
+    row-for-row, including >100k-char documents (chunk-backtrack path)
+    and every synth edge case (TOC lines, HTML fragments, dup
+    sentences)."""
+    from riksdagen_sentences_spark.sources.synth import files_table
+
+    files = files_table(spark, n_rows=400, seed=23, big_doc_every=31)
+    docs = P.docs_from_files(files)
+    gated = P.sentence_rows(docs)
+    udf = P.sentence_rows(docs, use_udf_sentenize=True)
+    assert gated.exceptAll(udf).count() == 0
+    assert udf.exceptAll(gated).count() == 0
+    # the gated plan ships only the >CHUNK_SIZE giants to Python: the
+    # sentenize UDF appears in exactly one (filtered) branch.  (The
+    # synth generator itself is a pandas UDF, so count the sentenizer,
+    # not ArrowEvalPython nodes.)
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("_sentenize_udf") == 1
