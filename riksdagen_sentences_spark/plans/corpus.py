@@ -2187,3 +2187,58 @@ _register(
     "event_id ASC), -1) AS prev_event_id "
     "FROM events",
 )
+
+
+# ---------------------------------------------------------------------------
+# Operator composition: the near-dup suite applied to the PIPELINE
+# OUTPUT (canonical sentences) rather than a source table - verified
+# MinHash-LSH near-dup sentence pairs, the dedup a curation pipeline
+# would run between KG construction and training-data export.
+# ---------------------------------------------------------------------------
+
+
+def _sentence_neardup(spark, sf):
+    s = _sentences(spark, sf).select(
+        F.col("sentence_id").alias("doc_id"),
+        F.col("cleaned").alias("text"),
+    )
+    return (
+        ND.lsh_verified_pairs(s, threshold=0.5)
+        .select(
+            F.col("doc_a").alias("sent_a"),
+            F.col("doc_b").alias("sent_b"),
+            "jaccard",
+        )
+    )
+
+
+_register(
+    "sentence_neardup_pairs",
+    _sentence_neardup,
+    f"""
+WITH {sentence_ctes()},
+docs2 AS (SELECT sentence_id AS doc_id, cleaned AS text FROM sentences),
+sig AS (SELECT doc_id, {_MH_COLS_SQL} FROM docs2),
+bands AS ({_LSH_BAND_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM docs2),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a AS sent_a, doc_b AS sent_b,
+  floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0 + 0.5) / 10000.0
+    AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0 + 0.5)
+  / 10000.0 >= 0.5
+""",
+)
