@@ -103,10 +103,16 @@ def main() -> None:
     timed("rawtokens", q_rawtokens)
 
     # q4: MinHash-LSH near-dup candidates over documents
-    timed(
-        "lsh_candidate_pairs",
-        lambda: ND.lsh_candidate_pairs(docs_raw).count(),
+    from riksdagen_sentences_spark.operators.cache import (
+        release_intermediates,
     )
+
+    def q_lsh():
+        n = ND.lsh_candidate_pairs(docs_raw).count()
+        release_intermediates()  # drop the persisted band table
+        return n
+
+    timed("lsh_candidate_pairs", q_lsh)
 
     # q5: brute-force cosine top-k over embeddings
     timed(

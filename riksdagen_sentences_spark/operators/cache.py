@@ -1,0 +1,43 @@
+"""Registry for persisted INTERMEDIATE DataFrames (shingle tables, band
+tables, CC label frontiers...).
+
+Several operators persist deterministic intermediates because both sides
+of a self-join must hit the cache instead of racing to recompute the
+lineage (neardup.py, graph.py).  The operator returns a LAZY result that
+still references the persisted parent, so the operator itself can never
+know when it is safe to unpersist - only the caller does, after
+materializing the result.  Persisting is correct without cleanup (blocks
+are evicted LRU and recomputation is deterministic), but a long driver
+run of many queries accumulates dead cached blocks; callers that
+materialize many operator results in sequence (bench.py, tools/parity.py,
+the driver correctness gate) should call :func:`release_intermediates`
+between queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_TRACKED: list[DataFrame] = []
+
+
+def track(df: DataFrame) -> DataFrame:
+    """Register an already-persisted intermediate for later release."""
+    _TRACKED.append(df)
+    return df
+
+
+def release_intermediates() -> int:
+    """Unpersist every tracked intermediate.  Safe to call at any time -
+    a not-yet-materialized result that still references a released
+    parent recomputes it deterministically (slower, never wrong).
+    Returns the number of frames released."""
+    n = 0
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped - nothing to release
+    return n

@@ -54,9 +54,20 @@ def salted_dedup(
         # collapses the hot key within each task) - no salting needed
         return df.dropDuplicates(keys)
     if check_dependence:
+        # countDistinct over a null-tagged STRUCT, not the bare column:
+        # countDistinct skips NULL inputs, so a group holding {NULL, 'x'}
+        # would report 1 distinct value and slip past the guard even
+        # though per-column MIN silently resolves it to 'x'.  A struct is
+        # never NULL even when its field is, so NULL counts as its own
+        # distinct value.
         bad = (
             df.groupBy(*keys)
-            .agg(*[F.countDistinct(c).alias(c) for c in others])
+            .agg(
+                *[
+                    F.countDistinct(F.struct(F.col(c))).alias(c)
+                    for c in others
+                ]
+            )
             .filter(
                 F.greatest(*[F.col(c) for c in others]) > 1
                 if len(others) > 1

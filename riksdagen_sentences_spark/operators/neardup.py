@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .cache import track
 from .textstats import normalized_text_col
 
 SHINGLE_K = 3
@@ -247,8 +248,9 @@ def lsh_candidate_pairs(
     sh = _doc_shingles_fast(docs, text_col)
     sig = _signatures_from_shingles(sh, n_perm)
     # persist: both self-join sides must hit the cache, not race to
-    # compute the signature lineage twice
-    all_bands = _band_table(sig, n_perm, bands).persist()
+    # compute the signature lineage twice.  Tracked for cache.release_
+    # intermediates() - the caller unpersists after materializing.
+    all_bands = track(_band_table(sig, n_perm, bands).persist())
     all_bands.count()
     return _pairs_from_bands(all_bands)
 
@@ -270,10 +272,10 @@ def lsh_verified_pairs(
     :func:`ngram_jaccard_pairs`, which exists only as the small-SF
     verification baseline.  Output rows are a subset of
     :func:`lsh_candidate_pairs` by construction."""
-    sh = _doc_shingles_fast(docs, text_col).persist()
+    sh = track(_doc_shingles_fast(docs, text_col).persist())
     sh.count()  # eager: shingles feed signatures AND both verify joins
     sig = _signatures_from_shingles(sh, n_perm)
-    all_bands = _band_table(sig, n_perm, bands).persist()
+    all_bands = track(_band_table(sig, n_perm, bands).persist())
     all_bands.count()
     cand = _pairs_from_bands(all_bands)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
@@ -411,7 +413,7 @@ def simhash_neardup_pairs(
             )
         ).alias("b"),
     ).select("doc_id", "simhash", "b.band_no", "b.band")
-    banded = banded.persist()
+    banded = track(banded.persist())
     banded.count()  # both self-join sides read the cache
     a = banded.alias("a")
     b = banded.alias("b")

@@ -162,10 +162,13 @@ def ivf_query(
 
 
 # Session-lifetime index memo for the convenience wrapper: keyed by
-# (app_id, corpus tag, build params) so a rebuilt SparkSession refreshes
-# the index but repeated queries within a session NEVER refit KMeans.
-# ``index_tag`` must identify the corpus (e.g. the sf dir) - two corpora
-# under one tag would share an index.
+# (app_id, corpus fingerprint, corpus tag, build params) so a rebuilt
+# SparkSession refreshes the index but repeated queries within a session
+# NEVER refit KMeans.  The corpus fingerprint is the analyzed-plan
+# semantic hash (``DataFrame.semanticHash()`` - driver-side, no job), so
+# two DIFFERENT embeddings DataFrames queried in one session get
+# separate indexes even under the same ``index_tag`` instead of silently
+# sharing a stale one.
 _IVF_MEMO: dict[tuple, IvfIndex] = {}
 
 
@@ -189,6 +192,7 @@ def ivf_topk(
     spark = embeddings.sparkSession
     key = (
         spark.sparkContext.applicationId,
+        embeddings.semanticHash(),
         index_tag,
         n_cells,
         seed,

@@ -41,25 +41,38 @@ def asof_join(
     Ties on (key, ts) between right rows are broken by the LAST row in
     (ts, side) order - supply collision-free timestamps for exact oracle
     parity (ASOF tie order is engine-undefined everywhere).
+
+    The whole right payload is carried forward as ONE struct (the struct
+    wrapper is non-null for every right row even when its fields are
+    NULL), so every output row's payload columns come from the SAME
+    right row - per-column ``last(..., ignorenulls)`` would resurrect
+    older rows' values for genuinely-NULL fields and emit a right row
+    that never existed.
     """
-    rp = {c: f"__r_{c}" for c in payload}
+    rpay = F.struct(*[F.col(c).alias(c) for c in payload])
     left_struct = F.struct(*[F.col(c) for c in left.columns])
     lu = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         left_struct.alias("__left"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(n)
-            for c, n in rp.items()
-        ],
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ", ".join(
+                f"{c}: {right.schema[c].dataType.simpleString()}"
+                for c in payload
+            )
+            + ">"
+        )
+        .alias("__rpay"),
     )
     ru = right.select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         F.lit(None).cast(lu.schema["__left"].dataType).alias("__left"),
-        *[F.col(c).alias(n) for c, n in rp.items()],
+        rpay.alias("__rpay"),
     )
     u = lu.unionByName(ru)
     # right rows (side 0) sort BEFORE left rows at equal ts -> inclusive
@@ -71,14 +84,11 @@ def asof_join(
     filled = u.select(
         "__side",
         "__left",
-        *[
-            F.last(n, ignorenulls=True).over(w).alias(n)
-            for n in rp.values()
-        ],
+        F.last("__rpay", ignorenulls=True).over(w).alias("__rpay"),
     )
     return filled.filter(F.col("__side") == 1).select(
         F.col("__left.*"),
-        *[F.col(n).alias(f"{c}{suffix}") for c, n in rp.items()],
+        *[F.col(f"__rpay.{c}").alias(f"{c}{suffix}") for c in payload],
     )
 
 
@@ -96,10 +106,25 @@ def sessionize(
     prev_ts = F.lag(F.col(ts)).over(w)
     # exact integer microseconds (a double-seconds diff can flip the
     # comparison at sub-microsecond rounding; DuckDB twin: epoch_us).
-    # unix_micros requires TIMESTAMP (not NTZ); the cast's zone shift
-    # cancels in the difference.
+    # Computed arithmetically from the NTZ field values - NOT via
+    # cast('timestamp') + unix_micros, whose session-zone shift does NOT
+    # cancel in the difference when the zone observes DST (two
+    # wall-clock times straddling a transition get different offsets,
+    # shifting the gap by the transition amount).  unix_date/hour/
+    # minute/date_part('SECOND') on TIMESTAMP_NTZ are zone-free, and
+    # date_part SECOND is a DECIMAL carrying the full microsecond
+    # fraction, so this equals DuckDB's epoch_us(naive) exactly.
     def _us(c: F.Column) -> F.Column:
-        return F.unix_micros(c.cast("timestamp"))
+        ntz = c.cast("timestamp_ntz")
+        return (
+            F.unix_date(ntz.cast("date")).cast("bigint")
+            * F.lit(86_400_000_000)
+            + F.hour(ntz).cast("bigint") * F.lit(3_600_000_000)
+            + F.minute(ntz).cast("bigint") * F.lit(60_000_000)
+            + (F.date_part(F.lit("SECOND"), ntz) * 1_000_000).cast(
+                "bigint"
+            )
+        )
 
     is_new = F.when(
         prev_ts.isNull()

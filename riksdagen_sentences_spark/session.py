@@ -40,6 +40,11 @@ def get_spark(
         SparkSession.builder.master(f"local[{p}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or p))
+        # Pin the session zone: temporal operators and their DuckDB
+        # oracles must agree on wall-clock arithmetic regardless of the
+        # host's zone (a DST-observing zone would shift TIMESTAMP casts
+        # of TIMESTAMP_NTZ values by the transition offset).
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -1,5 +1,7 @@
 """Similarity-search operator tests (brute force / LSH / IVF)."""
 
+from pyspark.sql import functions as F
+
 from riksdagen_sentences_spark.operators import similarity as SIM
 
 
@@ -99,3 +101,29 @@ def test_probe_bucket_set():
         {"0110", "1110", "0010", "0100", "0111"}
     )
     assert len(SIM.probe_bucket_set("00000000", 2)) == 1 + 8 + 28
+
+
+def test_ivf_memo_distinguishes_corpora(spark):
+    """Two DIFFERENT embeddings DataFrames queried under the SAME
+    index_tag and params must not share one stale index (ADVICE r2: the
+    memo key now folds in the corpus' semantic hash)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    full_ids = {
+        r["vec_id"]
+        for r in SIM.ivf_topk(
+            emb, query_vec_id=0, k=10, n_cells=4, n_probe=4,
+            index_tag="memo_shared",
+        ).collect()
+    }
+    half_ids = {
+        r["vec_id"]
+        for r in SIM.ivf_topk(
+            half, query_vec_id=0, k=10, n_cells=4, n_probe=4,
+            index_tag="memo_shared",
+        ).collect()
+    }
+    # the half corpus has no odd ids; a shared stale index would return
+    # the full corpus' neighbors (which include odd ids at this SF)
+    assert all(v % 2 == 0 for v in half_ids)
+    assert any(v % 2 == 1 for v in full_ids)

@@ -139,3 +139,18 @@ def test_links_to_broadcast_holds_at_100k_dict(spark):
     )
     hits = P.links_to_edges(direct, spark, lexemes=big).collect()
     assert [r["obj"] for r in hits] == ["L920"]
+
+
+def test_check_dependence_null_sensitive(spark):
+    """A key group holding {NULL, 'x'} genuinely disagrees - the guard
+    must catch it even though countDistinct on the bare column would
+    report 1 (ADVICE r2)."""
+    import pytest
+
+    from riksdagen_sentences_spark.operators.dedup import salted_dedup
+
+    df = spark.createDataFrame(
+        [("k", None), ("k", "x")], "key string, val string"
+    )
+    with pytest.raises(ValueError, match="distinct value"):
+        salted_dedup(df, ["key"], check_dependence=True)

@@ -98,3 +98,49 @@ def test_sessionize_boundary_exact(spark):
     )
     out = sessionize(ev, key="user", ts="ts", gap_seconds=1800)
     assert {r["session_idx"] for r in out.collect()} == {0}
+
+
+def test_asof_join_null_payload_not_mixed(spark):
+    """A genuinely-NULL payload field in the matched right row must stay
+    NULL - per-column carry-forward would resurrect an older row's value
+    and emit a right row that never existed (ADVICE r2)."""
+    left = spark.createDataFrame(
+        [(1, _ts(10), "x")], "user bigint, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(5), 1, None),  # older row: a=1, b=NULL
+            (1, _ts(7), None, 2),  # matched row: a=NULL, b=2
+        ],
+        "user bigint, ts timestamp, a int, b int",
+    )
+    row = asof_join(
+        left, right, key="user", left_ts="ts", right_ts="ts",
+        payload=["a", "b"],
+    ).collect()[0]
+    assert row["a_asof"] is None and row["b_asof"] == 2
+
+
+def test_sessionize_ntz_dst_safe(spark):
+    """TIMESTAMP_NTZ gaps must be wall-clock gaps even when the session
+    zone observes DST: 01:30 -> 03:30 straddles the Europe/Stockholm
+    spring-forward (02:00 -> 03:00), and a session-zone TIMESTAMP cast
+    would report a 1-hour gap instead of the true 2 hours."""
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Europe/Stockholm")
+    try:
+        ev = spark.createDataFrame(
+            [
+                (1, dt.datetime(2024, 3, 31, 1, 30)),
+                (1, dt.datetime(2024, 3, 31, 3, 30)),
+            ],
+            "user bigint, ts timestamp_ntz",
+        )
+        # true wall-clock gap 7200s: > 5400 must SPLIT the session (the
+        # zone-shifted arithmetic would see 3600 and merge it)
+        out = sessionize(ev, key="user", ts="ts", gap_seconds=5400)
+        assert sorted(
+            r["session_idx"] for r in out.collect()
+        ) == [0, 1]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)

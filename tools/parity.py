@@ -50,6 +50,13 @@ def main() -> int:
             continue
         try:
             got = fn(spark, sf).toPandas()
+            # drop operator-persisted intermediates (band/shingle/label
+            # frames) so an 80+-query run doesn't accumulate dead blocks
+            from riksdagen_sentences_spark.operators.cache import (
+                release_intermediates,
+            )
+
+            release_intermediates()
             if name not in oracles:
                 print(f"{name:36s} rows-only {len(got)}")
                 continue
