@@ -319,26 +319,45 @@ def lsh_verified_pairs(
 _HEX = "0123456789abcdef"
 
 
+SIMHASH64_PREFIX = "b:"  # second-word-hash salt for dimensions 32..63
+
+
 def simhash_fingerprints(
     docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS
 ) -> DataFrame:
     """SimHash over word tokens: dimension j uses hex digit j of
-    md5(word); digit >= 8 votes +1 else -1; bit j = (sum > 0).
+    md5(word) (dimensions 32..63 use md5('b:' || word), giving the
+    64-bit production configuration while keeping the DuckDB oracle
+    exact - md5 is identical in both engines); digit >= 8 votes +1 else
+    -1; bit j = (sum > 0).
 
     Same explode -> codegen'd SUM aggregation shape as MinHash (per-row
     HOF voting is interpreted and ~10x slower).  Docs with no words get
     the all-zero fingerprint (matching the HOF formulation where every
-    dimension sums to 0).  ``bits`` <= 32 (md5 hex digits)."""
+    dimension sums to 0).  ``bits`` <= 64 (two md5s' hex digits)."""
+    if bits > 64:
+        raise ValueError(f"simhash bits must be <= 64, got {bits}")
+    hash_cols = [F.md5("w").alias("h")]
+    if bits > 32:
+        hash_cols.append(
+            F.md5(F.concat(F.lit(SIMHASH64_PREFIX), F.col("w"))).alias(
+                "h2"
+            )
+        )
     toks = docs.select(
         "doc_id", F.explode(words_col(F.col(text_col))).alias("w")
-    ).select("doc_id", F.md5("w").alias("h"))
+    ).select("doc_id", *hash_cols)
+
+    def _digit(j: int) -> Column:
+        src = "h" if j < 32 else "h2"
+        return F.upper(F.substring(src, (j % 32) + 1, 1))
+
     sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(
-                    F.upper(F.substring("h", j + 1, 1)).isin(*"89ABCDEF"),
-                    F.lit(1),
-                ).otherwise(F.lit(-1))
+                F.when(_digit(j).isin(*"89ABCDEF"), F.lit(1)).otherwise(
+                    F.lit(-1)
+                )
             ).alias(f"s{j}")
             for j in range(bits)
         ]
@@ -386,9 +405,10 @@ def simhash_neardup_pairs(
     the band-equality join finds every true pair while staying linear in
     bucket sizes (never all-pairs).  The Hamming re-check then removes
     band-collision false positives.  This is the pairing half that makes
-    the fingerprints useful - production would use 64-bit fingerprints
-    with 4 x 16-bit bands; 32/4 keeps the oracle twin exact (md5 gives 32
-    hex digits)."""
+    the fingerprints useful.  The production configuration is
+    ``bits=64, bands=4`` (4 x 16-bit bands - the two-md5 fingerprint
+    keeps the DuckDB oracle exact at 64 bits too); 32/4 remains as the
+    cheaper demo configuration."""
     if max_hamming > bands - 1:
         raise ValueError(
             "banded SimHash misses pairs when max_hamming > bands - 1 "

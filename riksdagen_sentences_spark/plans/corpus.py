@@ -142,9 +142,20 @@ def sql_accepted_token(raw: str, pos: str, lang: str) -> str:
 ACCEPT_LANGS_SQL = ", ".join(f"'{l}'" for l in S.ACCEPTED_LANGUAGES)
 
 
+def planted_docs_values() -> str:
+    rows = ", ".join(
+        f"('{i}', '{t}')" for i, t in S.PLANTED_LANG_DOCS
+    )
+    return f"(VALUES {rows}) AS p(document_id, content)"
+
+
 def sentence_ctes(doc_table: str = "documents") -> str:
     """CTE chain documents -> sent_base (mirrors pipeline.sentence_base)
-    -> sentences (mirrors pipeline.sentences)."""
+    -> sentences (mirrors pipeline.sentences).  The deterministic
+    mixed-language fixture docs (semantics.PLANTED_LANG_DOCS) are
+    appended to the document source exactly as ``_docs`` does on the
+    Spark side, so the monolingual driver testdata still exercises the
+    sv / cross-language / language-repair paths with real rows."""
     cleaned = sql_clean_sentence("text")
     wc = sql_word_count("cleaned")
     lang, score = sql_langid_select("cleaned")
@@ -153,6 +164,8 @@ def sentence_ctes(doc_table: str = "documents") -> str:
 __docs AS (
   SELECT CAST(doc_id AS VARCHAR) AS document_id, text AS content
   FROM {doc_table}
+  UNION ALL
+  SELECT document_id, content FROM {planted_docs_values()}
 ),
 __toc AS (
   SELECT document_id,
@@ -272,9 +285,17 @@ def _memo(spark: SparkSession, sf_dir: str, kind: str, builder):
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver documents + the deterministic mixed-language fixture docs
+    (semantics.PLANTED_LANG_DOCS; the oracle twin is the UNION ALL in
+    ``sentence_ctes``).  The planted side is a constant-size local
+    relation - irrelevant at scale, it exists so the all-English driver
+    testdata cannot green-light the language dimension vacuously."""
+    planted = spark.createDataFrame(
+        list(S.PLANTED_LANG_DOCS), "document_id string, content string"
+    )
     return P.docs_from_documents(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
-    )
+    ).unionByName(planted)
 
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -676,32 +697,101 @@ _register(
     "WHERE regexp_matches(raw, '[¥¶]')",
 )
 
-# count_language_id_mismatches.sql + delete_language_mismatches... (Q2/Q16)
-# Our engine derives token language FROM the sentence, so mismatches are
-# structurally impossible - the audit + repair anti-join must return the
-# full edge set unchanged.
+# count_language_id_mismatches.sql:1-8 + delete_language_mismatches_
+# between_rawtoken_and_sentence.sql:1-11 (Q2/Q16).  The engine's
+# invariant (token language IS the sentence language) makes organic
+# mismatches impossible, so - like the reference, whose repair exists
+# because legacy data contains them - the audit and repair run over the
+# real occursIn edge set UNION one deterministic simulated pre-repair
+# dirty edge (semantics.LEGACY_MISMATCH_*: the sv 'riksdagen' rawtoken
+# linked to mixed_planted_0's en sentence).  The repair reproduces the
+# reference's full cascade: EVERY edge of a rawtoken with ANY
+# mismatched link is deleted, so the sv token's legitimate sv links go
+# too and the output is strictly smaller than both the dirty and the
+# clean edge sets.
+
+
+def _dirty_occursin(spark, sf):
+    toks = _tokens(spark, sf)
+    edges = P.occurs_in_edges(toks).select("subj", "obj")
+    tok_text, tok_lang = S.LEGACY_MISMATCH_RAWTOKEN
+    legacy = (
+        P.rawtokens(toks)
+        .filter(
+            (F.col("lang") == tok_lang) & (F.col("text") == tok_text)
+        )
+        .select(F.col("rawtoken_id").alias("subj"))
+        .crossJoin(
+            _sentences(spark, sf)
+            .filter(
+                (F.col("document_id") == S.LEGACY_MISMATCH_DOC)
+                & (F.col("lang") == "en")
+            )
+            .select(F.col("sentence_id").alias("obj"))
+        )
+    )
+    return edges.unionByName(legacy)
+
+
+def _mismatched_rawtokens(spark, sf, dirty):
+    toks = _tokens(spark, sf)
+    rt_lang = P.rawtokens(toks).select(
+        F.col("rawtoken_id").alias("subj"), F.col("lang").alias("rt_lang")
+    )
+    s_lang = _sentences(spark, sf).select(
+        F.col("sentence_id").alias("obj"), F.col("lang").alias("s_lang")
+    )
+    return (
+        dirty.join(rt_lang, "subj")
+        .join(s_lang, "obj")
+        .filter(F.col("rt_lang") != F.col("s_lang"))
+    )
+
+
+_DIRTY_SQL = (
+    "rt_keys AS (SELECT DISTINCT raw AS text, pos, lang FROM token_flags "
+    "WHERE tok_accepted), "
+    "rt AS (SELECT "
+    f"{uuid5_sql(chr(39) + 'rawtoken' + chr(39), 'text', 'pos', 'lang')} "
+    "AS rawtoken_id, text, lang FROM rt_keys), "
+    f"edges AS (SELECT DISTINCT {_RID_FROM_TOK} AS subj, {_SID_FROM_TOK} "
+    "AS obj FROM token_flags WHERE tok_accepted AND sent_accepted), "
+    "legacy AS (SELECT rt.rawtoken_id AS subj, s.sentence_id AS obj "
+    "FROM rt, sentences s WHERE rt.lang = "
+    f"'{S.LEGACY_MISMATCH_RAWTOKEN[1]}' AND rt.text = "
+    f"'{S.LEGACY_MISMATCH_RAWTOKEN[0]}' AND s.document_id = "
+    f"'{S.LEGACY_MISMATCH_DOC}' AND s.lang = 'en'), "
+    "dirty AS (SELECT subj, obj FROM edges "
+    "UNION ALL SELECT subj, obj FROM legacy), "
+    "mism AS (SELECT d.subj, d.obj FROM dirty d "
+    "JOIN rt ON d.subj = rt.rawtoken_id "
+    "JOIN sentences s ON d.obj = s.sentence_id "
+    "WHERE rt.lang <> s.lang)"
+)
+
+_register(
+    "count_language_id_mismatches",
+    lambda spark, sf: _mismatched_rawtokens(
+        spark, sf, _dirty_occursin(spark, sf)
+    ).agg(F.count("*").alias("mismatch_count")),
+    f"WITH {sentence_ctes()}{token_ctes()}, {_DIRTY_SQL} "
+    "SELECT COUNT(*) AS mismatch_count FROM mism",
+)
+
 _register(
     "occursin_after_language_repair",
     lambda spark, sf: (
-        lambda toks: (
-            lambda edges, bad: edges.join(bad, "subj", "left_anti").agg(
-                F.count("*").alias("n")
-            )
-        )(
-            P.occurs_in_edges(toks),
-            P.rawtokens(toks)
-            .filter(~F.col("lang").isin(*S.ACCEPTED_LANGUAGES))
-            .select(F.col("rawtoken_id").alias("subj")),
-        )
-    )(_tokens(spark, sf)),
-    f"WITH {sentence_ctes()}{token_ctes()} "
-    "SELECT COUNT(*) AS n FROM ("
-    f"SELECT DISTINCT {_RID_FROM_TOK} AS subj, {_SID_FROM_TOK} AS obj "
-    "FROM token_flags WHERE tok_accepted AND sent_accepted) e "
-    "WHERE e.subj NOT IN (SELECT "
-    f"{uuid5_sql(chr(39) + 'rawtoken' + chr(39), 'text', 'pos', 'lang')} "
-    "FROM (SELECT DISTINCT raw AS text, pos, lang FROM token_flags WHERE "
-    f"tok_accepted) WHERE lang NOT IN ({ACCEPT_LANGS_SQL}))",
+        lambda dirty: dirty.join(
+            _mismatched_rawtokens(spark, sf, dirty)
+            .select("subj")
+            .distinct(),
+            "subj",
+            "left_anti",
+        ).agg(F.count("*").alias("n"))
+    )(_dirty_occursin(spark, sf)),
+    f"WITH {sentence_ctes()}{token_ctes()}, {_DIRTY_SQL} "
+    "SELECT COUNT(*) AS n FROM dirty "
+    "WHERE subj NOT IN (SELECT subj FROM mism)",
 )
 
 
@@ -1144,13 +1234,23 @@ WHERE floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0 + 0.5)
 """,
 )
 
-_SIMHASH_BIT_SQL = " || ".join(
-    f"(CASE WHEN list_sum(list_transform({_WORDS_SQL}, w -> CASE WHEN "
-    f"upper(substr(md5(w), {j + 1}, 1)) IN "
-    "('8','9','A','B','C','D','E','F') THEN 1 ELSE -1 END)) > 0 "
-    "THEN '1' ELSE '0' END)"
-    for j in range(ND.SIMHASH_BITS)
-)
+def _simhash_bits_sql(bits: int) -> str:
+    """Oracle twin of neardup.simhash_fingerprints for up to 64 bits:
+    dimensions 0..31 read md5(w) hex digits, 32..63 read the salted
+    md5('b:' || w) digits (SIMHASH64_PREFIX)."""
+    parts = []
+    for j in range(bits):
+        src = "md5(w)" if j < 32 else "md5('b:' || w)"
+        parts.append(
+            f"(CASE WHEN list_sum(list_transform({_WORDS_SQL}, "
+            f"w -> CASE WHEN upper(substr({src}, {(j % 32) + 1}, 1)) IN "
+            "('8','9','A','B','C','D','E','F') THEN 1 ELSE -1 END)) > 0 "
+            "THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(parts)
+
+
+_SIMHASH_BIT_SQL = _simhash_bits_sql(ND.SIMHASH_BITS)
 
 _register(
     "simhash_fingerprints",
@@ -1160,16 +1260,10 @@ _register(
     f"SELECT doc_id, {_SIMHASH_BIT_SQL} AS simhash FROM documents",
 )
 
-# 32-bit twin of _SIMHASH_BIT_SQL for the pairing operator (the pairing
-# half needs more bits than the 16-bit fingerprint demo to make banding
-# selective; md5 caps the exact oracle at 32 hex digits)
-_SIMHASH32_BIT_SQL = " || ".join(
-    f"(CASE WHEN list_sum(list_transform({_WORDS_SQL}, w -> CASE WHEN "
-    f"upper(substr(md5(w), {j + 1}, 1)) IN "
-    "('8','9','A','B','C','D','E','F') THEN 1 ELSE -1 END)) > 0 "
-    "THEN '1' ELSE '0' END)"
-    for j in range(32)
-)
+# 32-bit twin for the demo pairing configuration (the pairing half
+# needs more bits than the 16-bit fingerprint demo to make banding
+# selective); the 64-bit production configuration is registered below.
+_SIMHASH32_BIT_SQL = _simhash_bits_sql(32)
 
 # banded SimHash near-dup pairing: pigeonhole guarantees every pair with
 # hamming <= bands-1 shares a band, so the band join is complete AND
@@ -1200,6 +1294,40 @@ SELECT doc_a, doc_b,
       i -> substr(sim_a, i, 1) <> substr(sim_b, i, 1))) AS hamming
 FROM cand
 WHERE len(list_filter(range(1, 33),
+      i -> substr(sim_a, i, 1) <> substr(sim_b, i, 1))) <= 3
+""",
+)
+
+# 64-bit production configuration (4 x 16-bit bands): the two-md5
+# fingerprint keeps the DuckDB twin exact beyond one md5's 32 hex
+# digits.  Same pigeonhole guarantee (max_hamming <= bands - 1).
+_register(
+    "simhash64_neardup_pairs",
+    lambda spark, sf: ND.simhash_neardup_pairs(
+        _read(spark, sf, "documents"), bits=64, bands=4, max_hamming=3
+    ),
+    f"""
+WITH sh AS (SELECT doc_id, {_simhash_bits_sql(64)} AS simhash
+            FROM documents),
+b AS (
+  SELECT doc_id, simhash,
+    unnest([substr(simhash, 1, 16), substr(simhash, 17, 16),
+            substr(simhash, 33, 16), substr(simhash, 49, 16)]) AS band,
+    unnest([0, 1, 2, 3]) AS band_no
+  FROM sh
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         a.simhash AS sim_a, b2.simhash AS sim_b
+  FROM b a JOIN b b2
+    ON a.band_no = b2.band_no AND a.band = b2.band
+   AND a.doc_id < b2.doc_id
+)
+SELECT doc_a, doc_b,
+  len(list_filter(range(1, 65),
+      i -> substr(sim_a, i, 1) <> substr(sim_b, i, 1))) AS hamming
+FROM cand
+WHERE len(list_filter(range(1, 65),
       i -> substr(sim_a, i, 1) <> substr(sim_b, i, 1))) <= 3
 """,
 )
@@ -1986,10 +2114,12 @@ FROM f GROUP BY kind
 )
 
 
-# IVF ANN (MLlib KMeans coarse quantizer) - not SQL-expressible, so this
-# entry has no oracle twin: the driver records its weaker rows-only
-# check, and the recall-vs-brute-force bound is pinned in
-# tests/test_similarity.py.
+# IVF ANN (MLlib KMeans coarse quantizer) - the quantizer is not
+# SQL-expressible, so the partial-probe entry has no oracle twin: the
+# driver records its weaker rows-only check, and the partial-probe
+# recall-vs-brute-force bound is pinned in tests/test_similarity.py
+# (measured 0.2-1.0 at gate SFs on these near-random vectors - too
+# data-dependent for an exact-hash oracle).
 _register(
     "embedding_ivf_top10",
     lambda spark, sf: SIM.ivf_topk(
@@ -1997,6 +2127,25 @@ _register(
         n_cells=16, n_probe=4, index_tag=sf,
     ),
     None,
+)
+
+# Driver-checkable IVF evidence (closes the one oracle-free row): with
+# n_probe == n_cells the probe set covers the whole index, so the IVF
+# READ PATH - cell-partitioned write, partition-pruned scan, query-id
+# exclusion, double-cast cosine, (cosine DESC, vec_id ASC) ordering -
+# must reproduce the brute-force top-10 EXACTLY; any row lost or
+# duplicated by the partitioned index write, or any arithmetic drift in
+# the index path, breaks the value hash.  The oracle is the brute-force
+# SQL itself.
+_register(
+    "ivf_full_probe_top10",
+    lambda spark, sf: SIM.ivf_topk(
+        _read(spark, sf, "embeddings"), query_vec_id=0, k=10,
+        n_cells=16, n_probe=16, index_tag=sf,
+    ).select(
+        "vec_id", F.col("cosine").cast("double").alias("cosine")
+    ),
+    ORACLES["embedding_cosine_top10"],
 )
 
 

@@ -191,3 +191,107 @@ def lookup_count(
     """The X-Total-Count half of the count-then-page pattern (Q20)."""
     hits = _lookup_hits(spark, docs, token, category_qid, iso_code)
     return hits.agg(F.count("*").alias("total"))
+
+
+# ---------------------------------------------------------------------------
+# Materialized serving path: the reference API serves from the AT-REST
+# store (models/crud/read.py:122-165 pages the sentence table by
+# rawtoken link), not by re-deriving sentences from raw documents per
+# request.  ``materialize_serving_tables`` writes the lake layout a
+# /lookup service needs; ``lookup_from_catalog`` answers from it:
+#
+# - sentences: partitioned by lang (a compound-token scan in one
+#   language prunes every other language's directories) and bucketed +
+#   sorted by sentence_id,
+# - occursIn edges: bucketed + sorted by obj (= sentence_id) with the
+#   SAME bucket count, so the edges->sentences semi-join runs with ZERO
+#   shuffle Exchange - the shuffle was paid once at write time,
+# - rawtokens: a small secondary-index table probed by (text, postag,
+#   lang); its ids reach the edge scan as a broadcast semi-join.
+# ---------------------------------------------------------------------------
+
+SERVE_SENTENCES = "serve_sentences"
+SERVE_OCCURSIN = "serve_occursin"
+SERVE_RAWTOKENS = "serve_rawtokens"
+
+
+def materialize_serving_tables(
+    spark: SparkSession,
+    docs: DataFrame,
+    catalog,
+    n_buckets: int = 8,
+    prefix: str = "",
+) -> None:
+    """Build the at-rest serving layout from the pipeline (run once per
+    corpus version; every later /lookup reads only these tables)."""
+    base = P.sentence_base(docs).persist()
+    sents = P.sentences(base).select(
+        "sentence_id", "document_id", "text", "cleaned", "lang",
+        "score", "word_count", "sent_idx",
+    )
+    catalog.write_bucketed(
+        prefix + SERVE_SENTENCES, sents,
+        bucket_by=["sentence_id"], n_buckets=n_buckets,
+        sort_by=["sentence_id"], partition_by=["lang"],
+    )
+    toks = P.token_base(base)
+    catalog.write_bucketed(
+        prefix + SERVE_RAWTOKENS, P.rawtokens(toks),
+        bucket_by=["rawtoken_id"], n_buckets=n_buckets,
+    )
+    catalog.write_bucketed(
+        prefix + SERVE_OCCURSIN,
+        P.occurs_in_edges(toks).select("subj", "obj"),
+        bucket_by=["obj"], n_buckets=n_buckets, sort_by=["obj"],
+    )
+    base.unpersist()
+
+
+def lookup_from_catalog(
+    spark: SparkSession,
+    catalog,
+    token: str,
+    category_qid: str,
+    iso_code: str,
+    limit: int = 100,
+    offset: int = 0,
+    prefix: str = "",
+) -> DataFrame:
+    """A2/A3 lookup served from the materialized tables - same output
+    contract as :func:`lookup_sentences` (pinned equal in tests), but
+    the plan touches only the at-rest store: a partition-pruned
+    sentences scan for compound tokens; rawtoken-index probe ->
+    broadcast semi-join into the bucketed edges -> zero-Exchange
+    semi-join into the bucketed sentences for simple tokens."""
+    sents = catalog.read_table(prefix + SERVE_SENTENCES)
+    if is_compound_token(token):
+        hits = sents.filter(
+            (F.col("lang") == iso_code)
+            & F.lower(F.col("text")).contains(token.lower())
+        )
+    else:
+        postags = _postag_for_qid(category_qid)
+        ids = (
+            catalog.read_table(prefix + SERVE_RAWTOKENS)
+            .filter(
+                (F.col("text") == token)
+                & F.col("postag").isin(postags)
+                & (F.col("lang") == iso_code)
+            )
+            .select(F.col("rawtoken_id").alias("subj"))
+        )
+        sent_ids = (
+            catalog.read_table(prefix + SERVE_OCCURSIN)
+            .join(F.broadcast(ids), "subj", "left_semi")
+            .select(F.col("obj").alias("sentence_id"))
+        )
+        hits = sents.join(sent_ids, "sentence_id", "left_semi")
+    return (
+        hits.select(
+            "sentence_id", "text", "lang",
+            F.length("text").alias("n_chars"),
+        )
+        .orderBy(F.col("n_chars").asc(), F.col("sentence_id").asc())
+        .offset(offset)
+        .limit(limit)
+    )

@@ -236,6 +236,66 @@ LANGUAGES: tuple[tuple[str, str, str], ...] = (
     ("und", "Undetermined", "Q22282914"),
 )
 
+# ---------------------------------------------------------------------------
+# Planted mixed-language fixture documents.
+#
+# The driver testdata (TESTDATA.md) is monolingual English lorem, so
+# every language-dimension query (sv counts, the cross-language Q2
+# self-join, the rawtoken<->sentence language-mismatch repair - reference
+# sql/count_language_id_mismatches.sql:1-8 and
+# sql/delete_language_mismatches_between_rawtoken_and_sentence.sql:1-11)
+# would otherwise pass vacuously on zero rows.  These deterministic docs
+# are appended to the document source on BOTH the Spark side
+# (plans/corpus._docs) and the DuckDB oracle side (corpus.sentence_ctes),
+# so every downstream count moves consistently and the language
+# dimension carries real evidence:
+#
+# - sv_planted_0/1: pure-Swedish sentences (sv-exclusive stop words ->
+#   lang='sv', score near 1.0) mentioning ONLY the gazetteer entities
+#   {sverige, riksdagen} - a mention-graph component disjoint from the
+#   English corpus terms.
+# - sv_planted_2: mentions ONLY {stockholm, europa} - a second disjoint
+#   component of a different size.
+# - sv_planted_3: mentions ONLY {anna} - a third, smallest component.
+# - mixed_planted_0: one accepted sv sentence + one accepted en sentence
+#   in the SAME document (fires the cross-language pair self-join); its
+#   en sentence is the target of the planted legacy mismatch edge in the
+#   repair queries.  Neither sentence mentions any gazetteer entity, so
+#   the component structure above is unaffected.
+#
+# Word-choice constraints (why these exact words): "och att om inte till
+# ett jag" appear ONLY in the sv stop-word list (no overlap with
+# nb/de/fr), pushing the sv score up; filler words (menar/ser/bor/kvar/
+# idag/nu/hem/kommer) are in NO stop-word list; nothing contains digits,
+# '....' (TOC rule) or a corpus gazetteer term (spark/window/stream/
+# hash join/merge).
+# ---------------------------------------------------------------------------
+PLANTED_LANG_DOCS: tuple[tuple[str, str], ...] = (
+    ("sv_planted_0",
+     "Och att om inte till ett jag menar riksdagen och sverige. "
+     "Att och om inte till ett jag ser sverige och riksdagen nu."),
+    ("sv_planted_1",
+     "Om och att inte till ett jag har riksdagen och sverige kvar. "
+     "Och att om inte till ett jag det den han var vi har."),
+    ("sv_planted_2",
+     "Och att om inte till ett jag bor stockholm och europa nu. "
+     "Att om och inte till ett jag ser europa och stockholm idag."),
+    ("sv_planted_3",
+     "Och att om inte till ett jag anna kommer hem idag nu."),
+    ("mixed_planted_0",
+     "Och att om inte till ett jag den det har som var vi. "
+     "The and of to in that it was for on with he as be foo."),
+)
+
+# The planted legacy language-mismatch edge (reference repair scenario,
+# sql/delete_language_mismatches_between_rawtoken_and_sentence.sql): the
+# engine's invariant makes organic mismatches impossible (token language
+# IS the sentence language), so the repair queries run over the real
+# occursIn edge set UNION one simulated pre-repair dirty edge linking
+# this sv rawtoken to the en sentence of this document.
+LEGACY_MISMATCH_RAWTOKEN = ("riksdagen", "sv")
+LEGACY_MISMATCH_DOC = "mixed_planted_0"
+
 # Triple predicates (the reference's link tables, create.py:106-155)
 PRED_PART_OF = "partOf"
 PRED_HAS_TEXT = "hasText"

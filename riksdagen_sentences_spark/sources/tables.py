@@ -78,6 +78,7 @@ class ParquetCatalog:
         bucket_by: list[str],
         n_buckets: int,
         sort_by: list[str] | None = None,
+        partition_by: list[str] | None = None,
     ) -> None:
         """Bucketed external table (Iceberg bucket-transform analog).
 
@@ -88,13 +89,18 @@ class ParquetCatalog:
         paid once at write time and amortized over every subsequent
         join, which is the decisive co-location primitive at 100 TB
         (the occursIn edge table joining rawtokens, say).  ``sort_by``
-        additionally skips the join-side Sort."""
+        additionally skips the join-side Sort.  ``partition_by`` layers
+        Hive-style partitioning ABOVE the buckets (e.g. sentences
+        partitioned by lang, bucketed by sentence_id: a language filter
+        prunes whole directories while id-joins stay co-located)."""
         w = (
             df.write.mode("overwrite")
             .format("parquet")
             .option("path", self._path(table))
-            .bucketBy(n_buckets, *bucket_by)
         )
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w = w.bucketBy(n_buckets, *bucket_by)
         if sort_by:
             w = w.sortBy(*sort_by)
         w.saveAsTable(table)

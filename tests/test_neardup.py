@@ -85,3 +85,36 @@ def test_simhash_pairs_pigeonhole_guard(spark):
     docs = spark.read.parquet(SF)
     with pytest.raises(ValueError, match="misses pairs"):
         ND.simhash_neardup_pairs(docs, bits=32, bands=4, max_hamming=4)
+
+
+def test_simhash64_production_config(spark):
+    """64-bit fingerprints (two md5s) with 4 x 16-bit bands: the
+    production configuration must run end-to-end, stay banding-complete
+    within the hamming budget, and be strictly MORE selective than the
+    32-bit demo (more dimensions -> fewer random collisions)."""
+    docs = spark.read.parquet(SF)
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in ND.simhash_fingerprints(docs, bits=64).collect()
+    }
+    assert all(len(v) == 64 for v in fps.values())
+    # dimensions 32..63 use a different word hash: the two halves must
+    # not be copies of each other on a real corpus
+    assert any(v[:32] != v[32:] for v in fps.values())
+    pairs = ND.simhash_neardup_pairs(
+        docs, bits=64, bands=4, max_hamming=3
+    ).collect()
+    assert all(0 <= r["hamming"] <= 3 for r in pairs)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    ids = sorted(fps)[:80]
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = sum(x != y for x, y in zip(fps[a], fps[b]))
+            if ham <= 3:
+                assert (a, b) in got, (a, b, ham)
+    n32 = ND.simhash_neardup_pairs(
+        docs, bits=32, bands=4, max_hamming=3
+    ).count()
+    assert len(pairs) <= n32
+    with pytest.raises(ValueError, match="<= 64"):
+        ND.simhash_fingerprints(docs, bits=128)
