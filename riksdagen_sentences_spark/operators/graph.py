@@ -132,3 +132,117 @@ def connected_components(
             "max_iter - returning partial labels would be silently wrong"
         )
     return labels.select("node", "component")
+
+
+def connected_components_contraction(
+    edges: DataFrame,
+    max_iter: int = 30,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """(node, component) by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) - the high-diameter scale path: converges in
+    O(log^2 n) rounds regardless of component diameter, vs the
+    O(diameter) rounds of :func:`connected_components`' label
+    propagation.  Use propagation for hub-and-spoke graphs (entity
+    mentions: diameter <= ~6, half the per-round cost); use this for
+    chain/lattice-shaped graphs where diameter grows with data size.
+
+    Per round (both steps are one groupBy shuffle each):
+    - large-star: every node u computes m = min(neighbors(u) + [u]) and
+      rewires each LARGER neighbor v to m - emit (v, m),
+    - small-star: over the rewired (larger, smaller) edges, every node u
+      computes m = min(smaller-neighbors) and rewires those neighbors
+      and itself to m.
+
+    Fixpoint = the edge set is unchanged by a full round; then every
+    edge is (node, component-min) and labels read off directly.
+    Deterministic (min over string ids).  Raises like the propagation
+    variant if ``max_iter`` rounds don't reach the fixpoint.
+    """
+    # localCheckpoint (not just persist) both seeds: the input edge
+    # lineage may be an entire pipeline's plan, and every round's plan
+    # would otherwise embed it twice per step - the driver heap dies on
+    # plan size long before data size matters.
+    nodes = (
+        edges.select(F.col("subj").cast("string").alias("node"))
+        .unionByName(edges.select(F.col("obj").cast("string").alias("node")))
+        .dropDuplicates(["node"])
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        edges.select(
+            F.col("subj").cast("string").alias("a"),
+            F.col("obj").cast("string").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+        )
+        .dropDuplicates(["hi", "lo"])
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for i in range(max_iter):
+        # large-star: symmetric neighborhoods, rewire larger neighbors
+        sym = e.select(
+            F.col("hi").alias("u"), F.col("lo").alias("v")
+        ).unionByName(e.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select(
+            "u", F.least(F.col("u"), F.col("mv")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .dropDuplicates(["hi", "lo"])
+        )
+        # small-star: per larger endpoint, rewire its smaller neighbors
+        # (and itself) to their minimum
+        small_min = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        small = (
+            large.join(small_min, "hi")
+            .filter(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .unionByName(
+                small_min.select(
+                    F.col("hi"), F.col("m").alias("lo")
+                )
+            )
+            .filter(F.col("hi") != F.col("lo"))
+            .dropDuplicates(["hi", "lo"])
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_e = small.localCheckpoint(eager=True)
+        else:
+            new_e = small.persist()
+            new_e.count()
+        same = (
+            new_e.count() == e.count()
+            and new_e.join(e, ["hi", "lo"], "left_anti").limit(1).count()
+            == 0
+        )
+        e.unpersist()
+        e = new_e
+        if same:
+            converged = True
+            break
+    track(e)
+    if not converged:
+        nodes.unpersist()
+        e.unpersist()
+        raise RuntimeError(
+            "connected_components_contraction did not converge within "
+            f"{max_iter} rounds; raise max_iter"
+        )
+    labels = nodes.join(
+        e.select(F.col("hi").alias("node"), F.col("lo").alias("component")),
+        "node",
+        "left",
+    ).select(
+        "node", F.coalesce("component", "node").alias("component")
+    )
+    track(nodes)
+    return labels

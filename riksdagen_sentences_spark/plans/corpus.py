@@ -1034,6 +1034,28 @@ _register(
     "ORDER BY ts ASC, event_id ASC) AS rn FROM events) WHERE rn = 1",
 )
 
+# Driver-checked stateful streaming dedup (VERDICT r2 #8): a real
+# Structured Streaming run (file source, 4 time-ordered micro-batches,
+# applyInPandasWithState first-seen state) whose final table must equal
+# the batch argmin-per-key - the same oracle as first_event_per_user.
+# State loss, re-emission across batches, or a nondeterministic
+# within-batch pick all break the value hash.
+def _streaming_first_event(spark, sf):
+    from ..streaming.incremental import replay_first_seen
+
+    return replay_first_seen(spark, _read(spark, sf, "events")).select(
+        "user_id", "event_id", "event_type"
+    )
+
+
+_register(
+    "streaming_first_event_per_user",
+    _streaming_first_event,
+    "SELECT user_id, event_id, event_type FROM ("
+    "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+    "ORDER BY ts ASC, event_id ASC) AS rn FROM events) WHERE rn = 1",
+)
+
 _register(
     "events_value_by_type",
     lambda spark, sf: _read(spark, sf, "events")
@@ -2012,12 +2034,20 @@ _register(
 # instead).
 # ---------------------------------------------------------------------------
 
-from ..operators.graph import connected_components  # noqa: E402
+from ..operators.graph import (  # noqa: E402
+    connected_components,
+    connected_components_contraction,
+)
 
 
-def _mention_component_sizes(spark, sf):
+def _mention_component_sizes(spark, sf, contraction: bool = False):
     edges = P.mention_edges(_sentences(spark, sf)).select("subj", "obj")
-    cc = connected_components(edges, max_iter=20)
+    algo = (
+        connected_components_contraction
+        if contraction
+        else connected_components
+    )
+    cc = algo(edges, max_iter=20)
     return (
         cc.groupBy("component")
         .agg(F.count("*").alias("n_nodes"))
@@ -2051,6 +2081,15 @@ comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
 SELECT component, COUNT(*) AS n_nodes FROM comp GROUP BY component
 ORDER BY n_nodes DESC, component ASC
 """,
+)
+
+# Same sizes via the large-star/small-star contraction variant (the
+# high-diameter scale path, operators/graph.py) - identical oracle: both
+# algorithms must agree with the recursive-CTE transitive closure.
+_register(
+    "mention_component_sizes_contraction",
+    lambda spark, sf: _mention_component_sizes(spark, sf, contraction=True),
+    ORACLES["mention_component_sizes"],
 )
 
 

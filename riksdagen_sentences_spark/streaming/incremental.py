@@ -61,6 +61,7 @@ def stream_files_to_graph(
 def streaming_first_seen(
     stream_df: DataFrame,
     key_col: str,
+    order_cols: list[str] | None = None,
 ):
     """Custom stateful operator: emit each key's row only the FIRST time
     it is ever seen across ALL micro-batches (keyed state via
@@ -74,6 +75,13 @@ def streaming_first_seen(
     them forever after.  State size = one entry per distinct key -
     partitioned by key across executors, the same scale shape as the
     batch groupBy.
+
+    ``order_cols``: when given, the emitted row is the MINIMUM over
+    those columns WITHIN the key's first micro-batch (instead of
+    arrival order, which is partition-nondeterministic inside a batch).
+    With time-monotone micro-batches this makes the whole stream's
+    output deterministic: first batch containing the key x
+    deterministic pick inside it = the key's global minimum row.
     """
     import pandas as pd  # noqa: F811
     from pyspark.sql.streaming.state import (
@@ -91,8 +99,21 @@ def streaming_first_seen(
             return
         first_row = None
         for pdf in pdfs:
-            if len(pdf) and first_row is None:
-                first_row = pdf.iloc[[0]]
+            if not len(pdf):
+                continue
+            cand = (
+                pdf.sort_values(order_cols).iloc[[0]]
+                if order_cols
+                else pdf.iloc[[0]]
+            )
+            if first_row is None:
+                first_row = cand
+            elif order_cols:
+                first_row = (
+                    pd.concat([first_row, cand])
+                    .sort_values(order_cols)
+                    .iloc[[0]]
+                )
         state.update((True,))
         if first_row is not None:
             yield first_row
@@ -104,6 +125,78 @@ def streaming_first_seen(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def replay_first_seen(
+    spark: SparkSession,
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    n_slices: int = 4,
+) -> DataFrame:
+    """Deterministic micro-batch replay of :func:`streaming_first_seen`
+    over a BATCH events table - the driver-checkable twin of the
+    stateful streaming dedup.
+
+    The table is split into ``n_slices`` time-ordered slices (ntile
+    over ``order_cols`` - a fixture-sized replay harness, not a scale
+    path), written as one file per slice with monotone mtimes so the
+    file stream source delivers one slice per micro-batch in time
+    order.  Keys recurring across slices exercise the cross-batch state
+    suppression; ``order_cols`` pins the within-batch pick.  The result
+    therefore MUST equal the batch argmin-per-key (the
+    ``first_event_per_user`` oracle): any state loss, re-emission, or
+    nondeterministic pick breaks the equality.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql.window import Window
+
+    work = tempfile.mkdtemp(prefix="sgraft_replay_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    sliced = events.withColumn(
+        "__slice",
+        F.ntile(n_slices).over(
+            Window.orderBy(*[F.col(c).asc() for c in order_cols])
+        ),
+    )
+    t0 = _time.time() - 1000
+    for k in range(1, n_slices + 1):
+        stage = os.path.join(work, f"stage{k}")
+        (
+            sliced.filter(F.col("__slice") == k)
+            .drop("__slice")
+            .coalesce(1)
+            .write.parquet(stage)
+        )
+        src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(in_dir, f"{k:03d}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (t0 + k, t0 + k))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    firsts = streaming_first_seen(
+        stream, key_col, order_cols=list(order_cols)
+    )
+    out_dir = os.path.join(work, "out")
+    q = (
+        firsts.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
 
 
 def windowed_event_counts(

@@ -93,3 +93,58 @@ def test_connected_components_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=3)
+
+
+def test_contraction_matches_union_find_and_propagation(spark):
+    """Large-star/small-star contraction: same labels as union-find and
+    as label propagation on a mixed multi-component graph."""
+    import random
+
+    from riksdagen_sentences_spark.operators.graph import (
+        connected_components_contraction,
+    )
+
+    rng = random.Random(7)
+    edges = [("a", "b"), ("b", "c"), ("d", "e"), ("i", "i")]
+    # random graph over 60 nodes, ~50 edges -> several components
+    names = [f"n{i:03d}" for i in range(60)]
+    for _ in range(50):
+        edges.append((rng.choice(names), rng.choice(names)))
+    df = spark.createDataFrame(edges, "subj string, obj string")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_contraction(df, max_iter=30).collect()
+    }
+    exp = _union_find(edges)
+    comp_members = {}
+    for n, r in exp.items():
+        comp_members.setdefault(r, []).append(n)
+    exp_min = {
+        n: min(members)
+        for r, members in comp_members.items()
+        for n in members
+    }
+    assert got == exp_min
+    prop = {
+        r["node"]: r["component"]
+        for r in connected_components(df, max_iter=30).collect()
+    }
+    assert got == prop
+
+
+def test_contraction_beats_diameter_on_long_chain(spark):
+    """The point of contraction: a 256-node path graph (diameter 255,
+    where propagation would need ~255 rounds) must converge in
+    O(log^2 n) rounds - well under 20."""
+    from riksdagen_sentences_spark.operators.graph import (
+        connected_components_contraction,
+    )
+
+    chain = spark.range(255).select(
+        F.format_string("n%04d", F.col("id")).alias("subj"),
+        F.format_string("n%04d", F.col("id") + 1).alias("obj"),
+    )
+    labels = connected_components_contraction(chain, max_iter=18)
+    got = labels.collect()
+    assert len(got) == 256
+    assert {r["component"] for r in got} == {"n0000"}
