@@ -376,14 +376,26 @@ def simhash_fingerprints(
 
 
 def hamming_col(a: F.Column, b: F.Column, bits: int) -> F.Column:
-    """Hamming distance between two fixed-length '0'/'1' strings as a
-    codegen'd sum of per-position comparisons (no UDF, no HOF)."""
-    terms = [
-        F.when(
-            F.substring(a, j + 1, 1) != F.substring(b, j + 1, 1), 1
-        ).otherwise(0)
-        for j in range(bits)
-    ]
+    """Hamming distance between two fixed-length '0'/'1' strings:
+    32-bit chunks are folded to BIGINT (``conv(_, 2, 10)``), XORed, and
+    popcounted with ``bit_count`` - ~6 codegen expressions total.  The
+    per-position formulation (64 ``substring != substring`` terms) cost
+    128 string allocations PER ROW and dominated the 64-bit pairing's
+    verify stage ~10x."""
+
+    def _chunk(col: F.Column, start: int, width: int) -> F.Column:
+        return F.conv(F.substring(col, start, width), 2, 10).cast(
+            "bigint"
+        )
+
+    terms = []
+    pos = 1
+    while pos <= bits:
+        w = min(32, bits - pos + 1)
+        terms.append(
+            F.bit_count(_chunk(a, pos, w).bitwiseXOR(_chunk(b, pos, w)))
+        )
+        pos += w
     out = terms[0]
     for t in terms[1:]:
         out = out + t
