@@ -1225,35 +1225,137 @@ FROM bands a JOIN bands b
 # LSH candidates + exact-Jaccard verification on the candidate set only
 # (operators/neardup.lsh_verified_pairs): the precision stage a 100 TB
 # dedup acts on.  Result rows are a subset of lsh_candidate_pairs.
-_register(
-    "lsh_verified_pairs",
-    lambda spark, sf: ND.lsh_verified_pairs(
-        _read(spark, sf, "documents"), threshold=0.2
-    ),
-    f"""
-WITH sig AS (SELECT doc_id, {_MH_COLS_SQL} FROM documents),
+
+
+def _lsh_verified_sql(doc_src: str, threshold: float) -> str:
+    """Verified-pairs CTE chain over ``doc_src`` (a table or CTE name
+    with columns doc_id, text) - band stage INCLUDED, so banding misses
+    are reproduced exactly, then exact Jaccard >= threshold."""
+    jac = (
+        "floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0 + 0.5) "
+        "/ 10000.0"
+    )
+    return f"""
+sig AS (SELECT doc_id, {_MH_COLS_SQL} FROM {doc_src}),
 bands AS ({_LSH_BAND_SQL}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
-sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM {doc_src}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS i
   FROM cand c JOIN sh a ON a.doc_id = c.doc_a
   JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
   GROUP BY c.doc_a, c.doc_b
+),
+verified AS (
+  SELECT doc_a, doc_b, {jac} AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE {jac} >= {threshold}
+)"""
+
+
+_register(
+    "lsh_verified_pairs",
+    lambda spark, sf: ND.lsh_verified_pairs(
+        _read(spark, sf, "documents"), threshold=0.2
+    ),
+    f"WITH {_lsh_verified_sql('documents', 0.2)} "
+    "SELECT doc_a, doc_b, jaccard FROM verified",
 )
-SELECT doc_a, doc_b,
-  floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0 + 0.5) / 10000.0
-    AS jaccard
-FROM inter JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0 + 0.5)
-  / 10000.0 >= 0.2
-""",
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-data curation pipeline (composed operator): quality
+# gate -> exact dedup (keep min doc_id per fingerprint) -> verified
+# near-dup removal (drop the larger id of every LSH-verified pair at
+# jaccard >= 0.5) -> deterministic hash sample (md5(doc_id) fold mod 10
+# < 8, ~80%).  One row of per-stage survivor counts + final BPE-token
+# budget, so every stage's bite is visible in the driver artifact.  Runs
+# over the dup-planted doc set so the exact-dedup stage is non-vacuous.
+# ---------------------------------------------------------------------------
+
+_CURATE_QUALITY = 0.5
+
+
+def _curated_corpus(spark, sf):
+    docs = _docs_with_planted_dups(spark, sf)
+    st = TS.doc_stats(docs).select(
+        "doc_id", "quality", "fingerprint", "bpe_tokens"
+    )
+    q = st.filter(F.col("quality") >= _CURATE_QUALITY)
+    keep = q.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    d1 = q.join(keep, ["fingerprint", "doc_id"], "left_semi")
+    nd = (
+        ND.lsh_verified_pairs(docs, threshold=0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    d2 = d1.join(nd, "doc_id", "left_anti")
+    d3 = d2.filter(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+        < 8
+    )
+    return (
+        q.agg(F.count("*").alias("n_quality"))
+        .crossJoin(d1.agg(F.count("*").alias("n_after_exact")))
+        .crossJoin(d2.agg(F.count("*").alias("n_after_neardup")))
+        .crossJoin(
+            d3.agg(
+                F.count("*").alias("n_curated"),
+                F.sum("bpe_tokens").alias("total_bpe_tokens"),
+            )
+        )
+    )
+
+
+_CURATE_STATS_SQL = f"""
+stats AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '{TS.BPE_RE}')) AS bpe_tokens,
+    sha256({_NORM_SQL}) AS fingerprint,
+    floor(greatest(0.0, least(1.0,
+      least(CAST(len(list_filter(string_split_regex(text,
+        '[\t\n\f\r\x0B ]+'), w -> w <> '')) AS DOUBLE) / 100.0, 1.0)
+      - (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         floor(CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{{-~]'))
+         AS DOUBLE) / length(text) * 10000.0 + 0.5) / 10000.0 END) * 2.0))
+      * 10000.0 + 0.5) / 10000.0 AS quality
+  FROM docs2
+),
+q AS (SELECT * FROM stats WHERE quality >= {_CURATE_QUALITY}),
+keep AS (SELECT fingerprint, MIN(doc_id) AS doc_id FROM q
+         GROUP BY fingerprint),
+d1 AS (SELECT q.* FROM q JOIN keep
+       ON q.fingerprint = keep.fingerprint AND q.doc_id = keep.doc_id),
+nd AS (SELECT DISTINCT doc_b AS doc_id FROM verified),
+d2 AS (SELECT * FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+d3 AS (SELECT * FROM d2 WHERE
+       CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+            AS BIGINT) % 10 < 8)
+"""
+
+_register(
+    "curated_training_corpus",
+    _curated_corpus,
+    f"WITH docs2 AS ({_DOCS_PLANTED_SQL}), "
+    f"{_lsh_verified_sql('docs2', 0.5).lstrip().lstrip(chr(10))}, "
+    f"{_CURATE_STATS_SQL.strip().lstrip(chr(44))} "
+    "SELECT (SELECT COUNT(*) FROM q) AS n_quality, "
+    "(SELECT COUNT(*) FROM d1) AS n_after_exact, "
+    "(SELECT COUNT(*) FROM d2) AS n_after_neardup, "
+    "(SELECT COUNT(*) FROM d3) AS n_curated, "
+    "CAST((SELECT SUM(bpe_tokens) FROM d3) AS BIGINT) "
+    "AS total_bpe_tokens"
 )
 
 def _simhash_bits_sql(bits: int) -> str:
