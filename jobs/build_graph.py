@@ -53,6 +53,7 @@ def main() -> None:
         # cluster-agnostic defaults; real deployments override via
         # spark-submit --conf (AQE coalescing right-sizes the shuffle
         # partition count at runtime)
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
