@@ -23,6 +23,10 @@ def main() -> int:
     only = set(sys.argv[2:])
     spark = (
         SparkSession.builder.master("local[8]")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEM", "4g"),
+        )
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
