@@ -242,3 +242,25 @@ def sentence_accept_col(
         & lang.isin(*S.ACCEPTED_LANGUAGES)
         & (score >= S.MIN_LANG_SCORE)
     )
+
+
+def mentions_col(cleaned: Column) -> Column:
+    """JVM twin of kernels/ner.extract_entities: whole-word,
+    case-insensitive gazetteer match inside the CLEANED sentence
+    (reference models/entities.py:21-27) as an array<struct<label,
+    ner_label>> in gazetteer order - one `contains` per term, all
+    whole-stage codegen, no Python.  Used on the default path
+    (pipeline.mention_rows); the pandas UDF remains as the kernel twin
+    for parity pinning."""
+    padded = F.concat(F.lit(" "), F.lower(cleaned), F.lit(" "))
+    entries = [
+        F.when(
+            padded.contains(f" {label} "),
+            F.struct(
+                F.lit(label).alias("label"),
+                F.lit(ner_label).alias("ner_label"),
+            ),
+        )
+        for label, ner_label in S.GAZETTEER
+    ]
+    return F.filter(F.array(*entries), lambda x: x.isNotNull())

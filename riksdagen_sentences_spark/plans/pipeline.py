@@ -260,13 +260,26 @@ def normtokens(token_base_df: DataFrame) -> DataFrame:
     )
 
 
-def mention_rows(sentences_df: DataFrame) -> DataFrame:
-    """One gazetteer-UDF pass: (sentence_id, label, ner_label), set-
-    deduped per sentence (reference models/entity.py:14-18,
+def mention_rows(
+    sentences_df: DataFrame, use_udf_ner: bool = False
+) -> DataFrame:
+    """One gazetteer pass: (sentence_id, label, ner_label), set-deduped
+    per sentence (reference models/entity.py:14-18,
     models/entities.py:14,21-27).  ``entities`` and ``mention_edges``
-    both derive from this frame so the Python kernel runs once."""
+    both derive from this frame so the match runs once.
+
+    Default path is the pure-JVM column twin (columns.mentions_col -
+    one codegen'd ``contains`` per gazetteer term; round 3 removed the
+    last always-Python kernel from graph construction); the pandas-UDF
+    kernel remains behind ``use_udf_ner`` as the twin the tests pin
+    row-for-row equal."""
+    matcher = (
+        U.ner_udf(F.col("cleaned"))
+        if use_udf_ner
+        else C.mentions_col(F.col("cleaned"))
+    )
     m = sentences_df.select(
-        "sentence_id", F.explode(U.ner_udf(F.col("cleaned"))).alias("e")
+        "sentence_id", F.explode(matcher).alias("e")
     ).select("sentence_id", "e.label", "e.ner_label")
     return m.dropDuplicates(["sentence_id", "label", "ner_label"])
 

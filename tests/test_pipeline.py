@@ -269,3 +269,22 @@ def test_sentence_rows_gated_equals_udf(spark):
     # not ArrowEvalPython nodes.)
     plan = gated._jdf.queryExecution().executedPlan().toString()
     assert plan.count("_sentenize_udf") == 1
+
+
+def test_mentions_jvm_twin_matches_udf_kernel(spark):
+    """Default JVM gazetteer matcher (columns.mentions_col) must be
+    row-for-row identical to the pandas-UDF kernel path on a corpus
+    that exercises both the query-engine and Swedish gazetteer terms."""
+    from riksdagen_sentences_spark.sources.synth import files_table
+
+    docs = P.docs_from_files(files_table(spark, n_rows=400, seed=11))
+    sents = P.sentences(P.sentence_base(docs)).persist()
+    jvm = sorted(
+        map(tuple, P.mention_rows(sents).collect())
+    )
+    udf = sorted(
+        map(tuple, P.mention_rows(sents, use_udf_ner=True).collect())
+    )
+    sents.unpersist()
+    assert jvm == udf
+    assert len(jvm) > 0
