@@ -39,5 +39,19 @@ def release_intermediates() -> int:
             df.unpersist()
             n += 1
         except Exception:
-            pass  # session already stopped - nothing to release
+            continue  # session already stopped - nothing to release
+        # DataFrame.unpersist() is a no-op for localCheckpoint'ed frames:
+        # their blocks are registered on the checkpoint RDD inside the
+        # LogicalRDD leaf, not in the cache manager.  Release that RDD
+        # directly.  NOTE: a checkpoint truncated the lineage, so a
+        # LATER reference to this frame fails instead of recomputing -
+        # which is exactly why only finished intermediates are tracked;
+        # callers re-running a query get a fresh operator invocation,
+        # never the released frame.
+        try:
+            plan = df._jdf.queryExecution().analyzed()
+            if plan.getClass().getSimpleName() == "LogicalRDD":
+                plan.rdd().unpersist(False)
+        except Exception:
+            pass  # plain persist()-ed frame (no LogicalRDD leaf) or py4j
     return n

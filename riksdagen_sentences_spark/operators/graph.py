@@ -157,23 +157,33 @@ def connected_components_contraction(
 
     Fixpoint = the edge set is unchanged by a full round; then every
     edge is (node, component-min) and labels read off directly.
-    Deterministic (min over string ids).  Raises like the propagation
-    variant if ``max_iter`` rounds don't reach the fixpoint.
+    Deterministic (min over the NATIVE node-id type - like
+    :func:`connected_components`, subj/obj must share one orderable
+    type; numeric-id graphs get numeric min labels of the input type,
+    not the lexicographic min of their string rendering, so the two
+    variants stay interchangeable under one oracle).  Raises like the
+    propagation variant if ``max_iter`` rounds don't reach the fixpoint.
     """
+    if edges.schema["subj"].dataType != edges.schema["obj"].dataType:
+        raise TypeError(
+            "connected_components_contraction needs subj and obj of one "
+            f"type, got {edges.schema['subj'].dataType} vs "
+            f"{edges.schema['obj'].dataType}; cast before calling"
+        )
     # localCheckpoint (not just persist) both seeds: the input edge
     # lineage may be an entire pipeline's plan, and every round's plan
     # would otherwise embed it twice per step - the driver heap dies on
     # plan size long before data size matters.
     nodes = (
-        edges.select(F.col("subj").cast("string").alias("node"))
-        .unionByName(edges.select(F.col("obj").cast("string").alias("node")))
+        edges.select(F.col("subj").alias("node"))
+        .unionByName(edges.select(F.col("obj").alias("node")))
         .dropDuplicates(["node"])
         .localCheckpoint(eager=True)
     )
     e = (
         edges.select(
-            F.col("subj").cast("string").alias("a"),
-            F.col("obj").cast("string").alias("b"),
+            F.col("subj").alias("a"),
+            F.col("obj").alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
         .select(

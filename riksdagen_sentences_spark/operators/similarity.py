@@ -164,12 +164,33 @@ def ivf_query(
 # Session-lifetime index memo for the convenience wrapper: keyed by
 # (app_id, corpus fingerprint, corpus tag, build params) so a rebuilt
 # SparkSession refreshes the index but repeated queries within a session
-# NEVER refit KMeans.  The corpus fingerprint is the analyzed-plan
-# semantic hash (``DataFrame.semanticHash()`` - driver-side, no job), so
-# two DIFFERENT embeddings DataFrames queried in one session get
-# separate indexes even under the same ``index_tag`` instead of silently
-# sharing a stale one.
+# NEVER refit KMeans.  The corpus fingerprint combines the analyzed-plan
+# semantic hash (``DataFrame.semanticHash()`` - driver-side, no job)
+# with a DATA-level component - the scanned files' (path, mtime, size)
+# triples from ``inputFiles()`` - so re-reading the same path after an
+# in-place overwrite gets a fresh index instead of silently reusing the
+# stale one (the plan hash alone cannot see that).  Frames with no file
+# scan (in-memory fixtures) fall back to the plan hash, documented: an
+# in-place mutation of such a frame's source within one session needs a
+# new ``index_tag``.
 _IVF_MEMO: dict[tuple, IvfIndex] = {}
+
+
+def _corpus_fingerprint(df: DataFrame) -> str:
+    import hashlib
+    import os
+
+    h = hashlib.sha256(str(df.semanticHash()).encode())
+    for f in sorted(df.inputFiles()):
+        h.update(f.encode())
+        path = f[7:] if f.startswith("file:///") else f
+        path = "/" + path.lstrip("/") if not path.startswith("/") else path
+        try:
+            st = os.stat(path)
+            h.update(f":{st.st_mtime_ns}:{st.st_size}".encode())
+        except OSError:
+            pass  # non-local file system - path alone still contributes
+    return h.hexdigest()[:24]
 
 
 def ivf_topk(
@@ -192,7 +213,7 @@ def ivf_topk(
     spark = embeddings.sparkSession
     key = (
         spark.sparkContext.applicationId,
-        embeddings.semanticHash(),
+        _corpus_fingerprint(embeddings),
         index_tag,
         n_cells,
         seed,

@@ -270,15 +270,16 @@ def lexeme_values() -> str:
 
 
 # Per-(session, sf_dir) memo of the persisted pipeline cut-points: the
-# driver's correctness gate runs all 71 queries against one session, and
+# driver's correctness gate runs all queries against one session, and
 # without this every query would re-run the sentenizer lineage.  Entries
-# are keyed by the SparkContext identity so a stopped session's stale
-# DataFrames are never reused.
+# are keyed by applicationId (unique per SparkContext lifetime, never
+# recycled the way ``id()`` can be after GC) so a stopped session's
+# stale DataFrames are never served to a new context.
 _FRAME_CACHE: dict = {}
 
 
 def _memo(spark: SparkSession, sf_dir: str, kind: str, builder):
-    key = (id(spark.sparkContext), sf_dir, kind)
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
     if key not in _FRAME_CACHE:
         _FRAME_CACHE[key] = builder().persist()
     return _FRAME_CACHE[key]
@@ -1318,7 +1319,7 @@ def _curated_corpus(spark, sf):
     )
 
 
-_CURATE_STATS_SQL = f"""
+_CURATE_STATS_SQL = rf"""
 stats AS (
   SELECT doc_id,
     len(regexp_extract_all(text, '{TS.BPE_RE}')) AS bpe_tokens,
@@ -2532,3 +2533,82 @@ WHERE floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000.0 + 0.5)
   / 10000.0 >= 0.5
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Join-shaped gazetteer NER at production dictionary scale
+# ---------------------------------------------------------------------------
+# The default demo-dict path (columns.mentions_col) is one codegen'd
+# `contains` per term - term-count-bound.  This query runs the SAME
+# mention-edge semantics through pipeline.mention_rows_join against the
+# ~100k-entry synthetic gazetteer (sources/dims.py): n-gram explode +
+# ONE broadcast hash join, dictionary-size-independent.  The synthetic
+# padding terms are 'zner'-prefixed and digit-free, so they provably
+# cannot match any corpus or planted token - the match set is exactly
+# the demo dict's, which is what makes the mention_edges oracle exact.
+
+
+def _mention_edges_join_100k(spark: SparkSession, sf: str) -> DataFrame:
+    gaz = dims.synthetic_gazetteer(spark, 100_000)
+    s = _sentences(spark, sf)
+    return P.mention_edges(s, P.mention_rows_join(s, gaz, max_term_words=2))
+
+
+_register(
+    "mention_edges_gazetteer_join_100k",
+    _mention_edges_join_100k,
+    ORACLES["mention_edges"],
+)
+
+
+# ---------------------------------------------------------------------------
+# Driver-sample rotation
+# ---------------------------------------------------------------------------
+# The driver's correctness gate records only the FIRST 50 entries of
+# ``queries()`` in CORRECTNESS_r{N}.json (registration order).  Rounds
+# 1-3 therefore never produced a driver artifact for the later
+# registrations, even though every one is judge/parity verified.  The
+# names below are the queries already proven green in the r01-r03 driver
+# artifacts; everything NOT in this set (the 32 previously-unsampled
+# queries plus any query added after round 3) is rotated to the front so
+# CORRECTNESS_r04 captures the other half of the corpus.  Query
+# semantics are untouched - this only permutes dict insertion order.
+_DRIVER_PROVEN_R1_R3 = frozenset({
+    "avg_entities_per_sentence", "corpus_size_stats",
+    "count_language_id_mismatches", "count_sentences_en",
+    "count_sentences_score_above_0_7", "count_sentences_sv",
+    "count_tokens_with_garbage_chars", "cross_language_sentence_pairs",
+    "curated_training_corpus", "customers_without_orders",
+    "customers_without_urgent_orders", "doc_stats",
+    "doc_word_page_counts", "embedding_cosine_top10",
+    "embedding_lsh_top10", "embedding_neardup_pairs", "entities",
+    "entity_counts_per_document", "entity_mention_counts_by_ner_label",
+    "events_value_by_type", "exact_dup_groups", "first_event_per_user",
+    "hastext_edges", "language_dim", "lineitem_pricing_summary",
+    "linksto_edges", "lookup_compound_token", "lookup_count",
+    "lookup_simple_token", "lsh_candidate_pairs", "lsh_verified_pairs",
+    "mention_edges", "minhash_signatures", "ngram_jaccard_pairs",
+    "normalizesto_edges", "normtokens", "occursin_after_language_repair",
+    "occursin_edges", "orders_page_offset", "orders_priority_counts",
+    "partof_edges", "rawtoken_counts_by_category", "rawtokens",
+    "rawtokens_with_normtokens_high_score", "revenue_by_nation",
+    "sentence_count_by_lang", "sentence_entity_counts", "sentences",
+    "sentences_with_entities", "simhash64_neardup_pairs",
+    "simhash_fingerprints", "simhash_neardup_pairs",
+    "streaming_first_event_per_user", "top10_customers_by_spend",
+    "triples_by_pred", "unique_entities_per_document",
+    "windowed_event_counts",
+})
+
+
+def _rotate_driver_window() -> None:
+    fresh = {n: f for n, f in QUERIES.items()
+             if n not in _DRIVER_PROVEN_R1_R3}
+    proven = {n: f for n, f in QUERIES.items()
+              if n in _DRIVER_PROVEN_R1_R3}
+    QUERIES.clear()
+    QUERIES.update(fresh)
+    QUERIES.update(proven)
+
+
+_rotate_driver_window()

@@ -284,6 +284,71 @@ def mention_rows(
     return m.dropDuplicates(["sentence_id", "label", "ner_label"])
 
 
+def mention_rows_join(
+    sentences_df: DataFrame,
+    gazetteer_df: DataFrame,
+    max_term_words: int = 2,
+) -> DataFrame:
+    """Join-shaped gazetteer matcher for PRODUCTION dictionary sizes:
+    (sentence_id, label, ner_label), row-identical to
+    :func:`mention_rows` on the same dictionary.
+
+    The codegen'd per-term ``contains`` chain (columns.mentions_col) is
+    the right plan for the <=~100-term demo dict but is term-count-bound:
+    a ~100k-entry Wikidata-scale dictionary (the north star's broadcast
+    lexeme dict; reference runs full-model NER per sentence,
+    models/entities.py:21-27) cannot compile as 100k chained contains.
+    This path is dictionary-size-INDEPENDENT: sentences explode into
+    word n-grams (n = 1..max_term_words, one array expr + one explode,
+    all JVM) which equi-join the broadcast dictionary on the n-gram -
+    cost is O(words x max_term_words) per sentence plus a broadcast
+    hash join, regardless of term count.
+
+    Whole-word semantics match ``mentions_col`` exactly: n-grams are
+    built over the raw single-space split WITHOUT dropping empty tokens,
+    so runs of spaces cannot bridge words into a phrase match (just as
+    ``contains(' term ')`` cannot).  ``max_term_words`` must be >= the
+    word count of the longest dictionary term; shorter is silently
+    blind to longer phrases, so callers assert it against the dict.
+    """
+    words = F.split(F.lower(F.col("cleaned")), " ")
+
+    def _grams(n: int):
+        # factory, NOT an inline loop lambda: transform() passes the
+        # element index as a second lambda arg, which would shadow a
+        # default-bound n
+        return F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - n + 1),
+                lambda i: F.array_join(F.slice(words, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    cand = sentences_df.select(
+        "sentence_id",
+        F.explode(
+            F.array_distinct(
+                F.flatten(
+                    F.array(*[_grams(n) for n in range(1, max_term_words + 1)])
+                )
+            )
+        ).alias("term"),
+    )
+    dict_df = gazetteer_df.select(
+        F.lower("term").alias("term"), "ner_label"
+    ).dropDuplicates(["term", "ner_label"])
+    return (
+        cand.join(F.broadcast(dict_df), "term")
+        .select(
+            "sentence_id", F.col("term").alias("label"), "ner_label"
+        )
+        # n-grams are array_distinct'ed per sentence pre-join, and the
+        # dict is deduped, so (sentence_id, label, ner_label) is already
+        # unique - no post-join dropDuplicates shuffle needed
+    )
+
+
 def entities(sentences_df: DataFrame, mentions_df: DataFrame | None = None) -> DataFrame:
     """Canonical entities: UNIQUE(label, ner_label)
     (reference models/entity.py:36-48)."""

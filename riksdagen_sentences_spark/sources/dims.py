@@ -74,3 +74,43 @@ def synthetic_lexeme_dictionary(
         F.lit("Q1084").alias("category_qid"),
     )
     return demo.unionByName(synth)
+
+
+def gazetteer(spark: SparkSession) -> DataFrame:
+    """The demo NER gazetteer (semantics.GAZETTEER) as a broadcast dim:
+    (term, ner_label), term lowercase."""
+    return spark.createDataFrame(
+        list(S.GAZETTEER), "term string, ner_label string"
+    )
+
+
+def synthetic_gazetteer(
+    spark: SparkSession, n: int = 100_000, seed: int = 42
+) -> DataFrame:
+    """Production-sized gazetteer (~100k terms, the scale of the north
+    star's broadcast Wikidata lexeme dictionary) for the join-shaped NER
+    path (pipeline.mention_rows_join): the 10-term demo dict never
+    exercises the dictionary-size axis.
+
+    Distributed generation (spark.range, no driver loop); includes the
+    demo terms verbatim so matches stay oracle-identical, then pads with
+    deterministic synthetic terms that CANNOT collide with corpus tokens
+    ('zner' prefix, digit-free) - half single-word, half two-word, so
+    the multi-word n-gram join path is exercised at full width.  ~100k
+    rows x ~30 B is single-digit MB broadcast."""
+    demo = gazetteer(spark)
+    labels = sorted(S.NER_LABELS)
+    label_arr = F.array(*[F.lit(x) for x in labels])
+    word = F.concat(
+        F.lit("zner"),
+        F.translate(F.col("id").cast("string"), "0123456789", "abcdefghij"),
+    )
+    synth = spark.range(n - len(S.GAZETTEER)).select(
+        F.when(
+            F.col("id") % 2 == 0, word
+        ).otherwise(F.concat(word, F.lit(" "), word)).alias("term"),
+        F.element_at(
+            label_arr, (F.col("id") % len(labels) + 1).cast("int")
+        ).alias("ner_label"),
+    )
+    return demo.unionByName(synth)

@@ -148,15 +148,36 @@ def replay_first_seen(
     ``first_event_per_user`` oracle): any state loss, re-emission, or
     nondeterministic pick breaks the equality.
     """
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="sgraft_replay_")
+    try:
+        return _replay_first_seen(
+            spark, events, key_col, order_cols, n_slices, work
+        )
+    finally:
+        # the returned frame was localCheckpoint'ed (blocks, not files),
+        # so the whole working dir - input slices, streaming checkpoint,
+        # parquet output - can be removed before returning
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _replay_first_seen(
+    spark: SparkSession,
+    events: DataFrame,
+    key_col: str,
+    order_cols: tuple[str, ...],
+    n_slices: int,
+    work: str,
+) -> DataFrame:
     import glob
     import os
     import shutil
-    import tempfile
     import time as _time
 
     from pyspark.sql.window import Window
 
-    work = tempfile.mkdtemp(prefix="sgraft_replay_")
     in_dir = os.path.join(work, "in")
     os.makedirs(in_dir)
     sliced = events.withColumn(
@@ -196,7 +217,11 @@ def replay_first_seen(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    # Detach the result from the on-disk files so the caller (finally
+    # block above) can rmtree the working dir immediately: eager
+    # localCheckpoint copies the (fixture-scale) rows into block storage
+    # and truncates the file-scan lineage.
+    return spark.read.parquet(out_dir).localCheckpoint(eager=True)
 
 
 def windowed_event_counts(

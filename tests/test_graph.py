@@ -148,3 +148,59 @@ def test_contraction_beats_diameter_on_long_chain(spark):
     got = labels.collect()
     assert len(got) == 256
     assert {r["component"] for r in got} == {"n0000"}
+
+
+def test_contraction_preserves_numeric_id_type(spark):
+    """On numeric-id graphs the contraction variant must label with the
+    NUMERIC min of each component (not the lexicographic min of the
+    string rendering, where '10' < '2') and keep the input id type -
+    interchangeability with connected_components under one oracle."""
+    from riksdagen_sentences_spark.operators.graph import (
+        connected_components,
+        connected_components_contraction,
+    )
+
+    # component {2, 10, 30}: lexicographic-min-of-string would pick 10
+    df = spark.createDataFrame(
+        [(10, 2), (10, 30), (100, 7)], "subj bigint, obj bigint"
+    )
+    labels = connected_components_contraction(df, max_iter=10)
+    assert dict(labels.dtypes)["component"] == "bigint"
+    got = {r["node"]: r["component"] for r in labels.collect()}
+    assert got == {2: 2, 10: 2, 30: 2, 7: 7, 100: 7}
+    prop = {
+        r["node"]: r["component"]
+        for r in connected_components(df, max_iter=10).collect()
+    }
+    assert got == prop
+
+
+def test_contraction_rejects_mismatched_id_types(spark):
+    import pytest
+
+    from riksdagen_sentences_spark.operators.graph import (
+        connected_components_contraction,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "subj bigint, obj string")
+    with pytest.raises(TypeError, match="one type"):
+        connected_components_contraction(df)
+
+
+def test_release_intermediates_frees_checkpoint_blocks(spark):
+    """release_intermediates must actually free localCheckpoint'ed
+    frames (blocks live on the checkpoint RDD, where plain
+    DataFrame.unpersist() is a no-op)."""
+    from riksdagen_sentences_spark.operators.cache import (
+        release_intermediates,
+        track,
+    )
+
+    release_intermediates()  # drain anything tracked by earlier tests
+    df = spark.range(1000).localCheckpoint(eager=True)
+    jsc = spark.sparkContext._jsc.sc()
+    n_before = jsc.getPersistentRDDs().size()
+    assert n_before >= 1  # the checkpoint RDD is registered
+    track(df)
+    assert release_intermediates() == 1
+    assert jsc.getPersistentRDDs().size() < n_before

@@ -288,3 +288,56 @@ def test_mentions_jvm_twin_matches_udf_kernel(spark):
     sents.unpersist()
     assert jvm == udf
     assert len(jvm) > 0
+
+
+def test_mention_join_path_matches_contains_path(spark):
+    """Join-shaped gazetteer NER (mention_rows_join) must be
+    row-identical to the contains-chain matcher on the demo dict, AND
+    unchanged when the dict grows to 100k non-colliding synthetic terms
+    - the dictionary-size-independence the contains chain lacks."""
+    from riksdagen_sentences_spark.sources import dims
+    from riksdagen_sentences_spark.sources.synth import files_table
+
+    docs = P.docs_from_files(files_table(spark, n_rows=400, seed=11))
+    sents = P.sentences(P.sentence_base(docs)).persist()
+    contains = sorted(map(tuple, P.mention_rows(sents).collect()))
+    joined = sorted(
+        map(
+            tuple,
+            P.mention_rows_join(sents, dims.gazetteer(spark)).collect(),
+        )
+    )
+    assert joined == contains
+    assert len(joined) > 0
+    big = P.mention_rows_join(
+        sents, dims.synthetic_gazetteer(spark, 100_000)
+    )
+    assert sorted(map(tuple, big.collect())) == contains
+    # scale shape: ONE broadcast hash join; the Contains() count is a
+    # small constant from the sentence-cleaning lineage (TOC filter),
+    # NOT one per dictionary term - 100k terms must not add any
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Contains(") <= 5
+    sents.unpersist()
+
+
+def test_mention_join_whole_word_and_multispace_semantics(spark):
+    """The n-gram join must not bridge multi-space runs into phrase
+    matches (contains-twin semantics) and must stay whole-word."""
+    from riksdagen_sentences_spark.sources import dims
+
+    sents = spark.createDataFrame(
+        [
+            ("s1", "the hash join wins"),      # phrase match
+            ("s2", "hash  join doublespace"),  # NOT a phrase match
+            ("s3", "rehash joint words"),      # no substring match
+            ("s4", "spark"),                   # single-word sentence
+        ],
+        "sentence_id string, cleaned string",
+    )
+    got = {
+        (r["sentence_id"], r["label"])
+        for r in P.mention_rows_join(sents, dims.gazetteer(spark)).collect()
+    }
+    assert got == {("s1", "hash join"), ("s4", "spark")}
