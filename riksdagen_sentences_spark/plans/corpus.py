@@ -2562,6 +2562,47 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Watermark late-data evidence through a REAL micro-batch stream
+# ---------------------------------------------------------------------------
+# windowed_event_counts above is oracle-checked as a batch frame, where
+# the watermark is a no-op.  This twin replays the same aggregation
+# through an actual file-source stream (streaming/incremental.py:
+# replay_windowed_counts): the 50 earliest events arrive LAST, days
+# after the watermark passed their windows, so the stateful aggregation
+# must drop exactly those - the oracle is the batch aggregation over
+# events with the 50 earliest rows excluded.
+
+from ..streaming.incremental import replay_windowed_counts  # noqa: E402
+
+_register(
+    "windowed_event_counts_late_dropped",
+    lambda spark, sf: replay_windowed_counts(
+        spark, _read(spark, sf, "events"), "10 minutes", "30 minutes",
+        n_slices=3, n_late=50,
+    ).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_end"
+        ),
+        "event_type",
+        "n",
+        "total_value",
+    ),
+    "WITH ranked AS (SELECT *, row_number() OVER (ORDER BY ts, event_id) "
+    "AS rn FROM events) "
+    "SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), "
+    "'%Y-%m-%d %H:%M:%S') AS window_start, "
+    "strftime(time_bucket(INTERVAL '10 minutes', ts) + "
+    "INTERVAL '10 minutes', '%Y-%m-%d %H:%M:%S') AS window_end, "
+    "event_type, COUNT(*) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value "
+    "FROM ranked WHERE rn > 50 GROUP BY 1, 2, event_type",
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 entries of

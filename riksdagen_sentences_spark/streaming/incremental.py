@@ -171,10 +171,7 @@ def _replay_first_seen(
     n_slices: int,
     work: str,
 ) -> DataFrame:
-    import glob
     import os
-    import shutil
-    import time as _time
 
     from pyspark.sql.window import Window
 
@@ -186,30 +183,54 @@ def _replay_first_seen(
             Window.orderBy(*[F.col(c).asc() for c in order_cols])
         ),
     )
-    t0 = _time.time() - 1000
     for k in range(1, n_slices + 1):
-        stage = os.path.join(work, f"stage{k}")
-        (
-            sliced.filter(F.col("__slice") == k)
-            .drop("__slice")
-            .coalesce(1)
-            .write.parquet(stage)
+        _stage_slice(
+            sliced.filter(F.col("__slice") == k).drop("__slice"), work, k
         )
-        src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dst = os.path.join(in_dir, f"{k:03d}.parquet")
-        shutil.move(src, dst)
-        os.utime(dst, (t0 + k, t0 + k))
+    return _drain_append_stream(
+        spark,
+        work,
+        events.schema,
+        lambda stream: streaming_first_seen(
+            stream, key_col, order_cols=list(order_cols)
+        ),
+    )
+
+
+def _stage_slice(frame: DataFrame, work: str, k: int) -> None:
+    """Write ``frame`` as micro-batch file #k of the replay input dir:
+    one parquet file, mtime forced monotone in k (FileStreamSource
+    delivers files in mtime order)."""
+    import glob
+    import os
+    import shutil
+
+    stage = os.path.join(work, f"stage{k}")
+    frame.coalesce(1).write.parquet(stage)
+    src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    dst = os.path.join(work, "in", f"{k:03d}.parquet")
+    shutil.move(src, dst)
+    t0 = 1_000_000_000  # any fixed epoch; only the ORDER matters
+    os.utime(dst, (t0 + k, t0 + k))
+
+
+def _drain_append_stream(spark, work, schema, build) -> DataFrame:
+    """Run ``build(file_stream)`` to completion (availableNow) in append
+    mode and return the output detached from disk: eager localCheckpoint
+    copies the (fixture-scale) rows into block storage and truncates the
+    file-scan lineage, so the caller can rmtree ``work`` immediately."""
+    import os
+
+    in_dir = os.path.join(work, "in")
+    out_dir = os.path.join(work, "out")
     stream = (
-        spark.readStream.schema(events.schema)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
     )
-    firsts = streaming_first_seen(
-        stream, key_col, order_cols=list(order_cols)
-    )
-    out_dir = os.path.join(work, "out")
     q = (
-        firsts.writeStream.format("parquet")
+        build(stream)
+        .writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", os.path.join(work, "ckpt"))
         .outputMode("append")
@@ -217,11 +238,94 @@ def _replay_first_seen(
         .start()
     )
     q.awaitTermination()
-    # Detach the result from the on-disk files so the caller (finally
-    # block above) can rmtree the working dir immediately: eager
-    # localCheckpoint copies the (fixture-scale) rows into block storage
-    # and truncates the file-scan lineage.
     return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+
+
+def replay_windowed_counts(
+    spark: SparkSession,
+    events: DataFrame,
+    window_duration: str = "10 minutes",
+    watermark: str = "30 minutes",
+    n_slices: int = 3,
+    n_late: int = 50,
+) -> DataFrame:
+    """Drive :func:`windowed_event_counts` through a REAL micro-batch
+    stream with planted late data, proving the watermark actually
+    discards it (the batch-frame twin can never show that - there the
+    watermark is a no-op).
+
+    Layout: the ``n_late`` globally EARLIEST rows (by ts, event_id) are
+    withheld; the rest arrive in ``n_slices`` time-ordered micro-batches
+    (so the watermark ratchets forward and nothing on-time is ever
+    late); then the withheld rows arrive - by now the watermark sits at
+    ~(global max ts - watermark), days past their window ends, so the
+    stateful aggregation MUST drop all of them; finally a far-future
+    sentinel row advances the watermark past every real window end so
+    append mode flushes all surviving windows.  The sentinel's own
+    window never closes and is additionally filtered by event_type.
+
+    Result therefore MUST equal the batch windowed aggregation over
+    events EXCLUDING the ``n_late`` earliest rows - the oracle for
+    ``windowed_event_counts_late_dropped``.  Fixture-scale harness by
+    design (coalesce(1) per slice); the production path is the
+    streaming query itself.
+    """
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="sgraft_wmreplay_")
+    try:
+        return _replay_windowed_counts(
+            spark, events, window_duration, watermark, n_slices, n_late,
+            work,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _replay_windowed_counts(
+    spark, events, window_duration, watermark, n_slices, n_late, work
+) -> DataFrame:
+    import datetime
+    import os
+
+    from pyspark.sql.window import Window
+
+    os.makedirs(os.path.join(work, "in"))
+    # EventTimeWatermark requires an instant TIMESTAMP, but the session
+    # reads parquet as TIMESTAMP_NTZ (DST-proof batch arithmetic).  The
+    # session timezone is pinned UTC, so the cast preserves wall-clock
+    # values and the emitted window bounds exactly.
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    order = Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ranked = events.withColumn("__rn", F.row_number().over(order))
+    on_time = (
+        ranked.filter(F.col("__rn") > n_late)
+        .withColumn("__slice", F.ntile(n_slices).over(order))
+        .drop("__rn")
+    )
+    for k in range(1, n_slices + 1):
+        _stage_slice(
+            on_time.filter(F.col("__slice") == k).drop("__slice"), work, k
+        )
+    late = ranked.filter(F.col("__rn") <= n_late).drop("__rn")
+    _stage_slice(late, work, n_slices + 1)
+    max_ts = events.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts + datetime.timedelta(days=1), -1, "__sentinel__",
+          0.0, "{}")],
+        schema=events.schema,
+    )
+    _stage_slice(sentinel, work, n_slices + 2)
+    out = _drain_append_stream(
+        spark,
+        work,
+        events.schema,
+        lambda stream: windowed_event_counts(
+            stream, window_duration, watermark
+        ),
+    )
+    return out.filter(F.col("event_type") != "__sentinel__")
 
 
 def windowed_event_counts(

@@ -129,3 +129,56 @@ def test_streaming_first_seen_dedups_across_batches(spark, tmp_path):
     assert {r["k"] for r in rows} == {"a", "b", "c"}
     # each key exactly once despite replays
     assert len(rows) == 3
+
+
+def test_watermark_drops_late_rows_in_real_stream(spark):
+    """replay_windowed_counts must (a) equal the batch aggregation over
+    the on-time rows and (b) PROVE drops happened: the full-batch
+    aggregation (late rows included) differs - so the equality in (a)
+    cannot be satisfied by a watermark that silently no-ops."""
+    import datetime
+
+    from pyspark.sql.window import Window as W
+
+    from riksdagen_sentences_spark.streaming.incremental import (
+        replay_windowed_counts,
+        windowed_event_counts,
+    )
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=float(m)), i % 7,
+         ["view", "purchase"][i % 2], float(i), "{}")
+        for i, m in enumerate(x * 2.5 for x in range(400))
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    streamed = replay_windowed_counts(
+        spark, events, "10 minutes", "30 minutes", n_slices=3, n_late=40
+    )
+    keep = ["window_start", "window_end", "event_type", "n", "total_value"]
+    got = sorted(map(tuple, streamed.select(*keep).collect()))
+    on_time = (
+        events.withColumn(
+            "rn", F.row_number().over(W.orderBy("ts", "event_id"))
+        )
+        .filter(F.col("rn") > 40)
+        .drop("rn")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    exp = sorted(
+        map(tuple, windowed_event_counts(on_time).select(*keep).collect())
+    )
+    assert got == exp
+    full = sorted(
+        map(
+            tuple,
+            windowed_event_counts(
+                events.withColumn("ts", F.col("ts").cast("timestamp"))
+            ).select(*keep).collect(),
+        )
+    )
+    assert got != full  # the late rows really were discarded
