@@ -28,6 +28,11 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
 def main() -> None:
+    # tenant-noise forensics: record machine load at both ends so a
+    # cross-round regression can be adjudicated mechanically (loaded
+    # windows have shown 2x swings on identical code)
+    loadavg_start = round(os.getloadavg()[0], 2)
+
     from pyspark.sql import functions as F
 
     from riksdagen_sentences_spark.operators import neardup as ND
@@ -101,6 +106,22 @@ def main() -> None:
         return n
 
     timed("rawtokens", q_rawtokens)
+
+    # q3b: join-shaped gazetteer NER at production dictionary scale -
+    # n-gram explode + ONE broadcast hash join against a ~100k-term
+    # dict (the contains-chain default is term-count-bound and could
+    # never run this)
+    def q_ner_join():
+        from riksdagen_sentences_spark.sources import dims
+
+        base = P.sentence_base(docs).persist()
+        sents = P.sentences(base)
+        gaz = dims.synthetic_gazetteer(spark, 100_000)
+        n = P.mention_rows_join(sents, gaz, max_term_words=2).count()
+        spark.catalog.clearCache()
+        return n
+
+    timed("ner_join_100k", q_ner_join)
 
     # q4: MinHash-LSH near-dup candidates over documents
     from riksdagen_sentences_spark.operators.cache import (
@@ -239,6 +260,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": SF_DIR,
                 "cpus": CPUS,
+                "loadavg_start": loadavg_start,
+                "loadavg_end": round(os.getloadavg()[0], 2),
                 **extras,
             }
         )

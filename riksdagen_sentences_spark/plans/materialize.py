@@ -148,24 +148,36 @@ def compact_canonical(spark: SparkSession, out_dir: str) -> dict[str, int]:
     deduplicated (incremental runs dedup per bucket only; ids are
     deterministic content hashes, so cross-bucket duplicates are
     id-identical rows).  The Iceberg analog of a rewrite-data-files
-    compaction.  Returns per-table row counts after compaction."""
+    compaction.  Returns per-table row counts after compaction.
+
+    Each table is written ONCE - dedup into a sibling staging dir, then
+    an atomic directory swap (rename) replaces the live table.  The
+    previous tmp->read-back->rewrite shape doubled compaction I/O, which
+    at 100 TB is the difference between one pass over the lake and two;
+    on Iceberg the swap is the snapshot commit itself.  Row counts ride
+    on the single write via observe(), not a read-back count."""
+    import os
+    import shutil
+
     counts: dict[str, int] = {}
     for name, keys in _CANONICAL_KEYS.items():
         path = f"{out_dir}/{name}"
         df = spark.read.parquet(path)
-        had_bucket = "bucket" in df.columns
-        if had_bucket:
+        if "bucket" in df.columns:
             df = df.drop("bucket")
-        deduped = df.dropDuplicates(keys)
-        tmp = f"{out_dir}/__compact_{name}"
-        deduped.write.mode("overwrite").parquet(tmp)
-        compacted = spark.read.parquet(tmp)
-        compacted.write.mode("overwrite").parquet(path)
-        counts[name] = spark.read.parquet(path).count()
-        # best-effort tmp cleanup
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
+        obs = Observation()
+        deduped = df.dropDuplicates(keys).observe(
+            obs, F.count(F.lit(1)).alias("rows")
+        )
+        staging = f"{out_dir}/__compact_{name}"
+        shutil.rmtree(staging, ignore_errors=True)
+        deduped.write.mode("overwrite").parquet(staging)
+        counts[name] = obs.get["rows"]
+        old = f"{out_dir}/__old_{name}"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old, ignore_errors=True)
     return counts
 
 

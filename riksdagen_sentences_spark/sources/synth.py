@@ -132,3 +132,47 @@ def files_table(
         .withColumn("content", gen_content(F.col("id")))
     )
     return df.select("repo", "path", "commit", "lang", "content")
+
+
+def clustered_embeddings(
+    spark: SparkSession,
+    n_clusters: int = 8,
+    per_cluster: int = 50,
+    dim: int = 16,
+) -> DataFrame:
+    """Planted-cluster embeddings: ``n_clusters`` well-separated centers
+    with tiny within-cluster jitter, so ANN ground truth is structural -
+    the top-(per_cluster-1) neighbors of any point are exactly its
+    cluster mates.  Deterministic and distributed (spark.range + md5
+    arithmetic, no RNG state, no driver loop).
+
+    Center c, component d ~ U(-1, 1) from md5("ctr:c:d"); jitter for
+    point p, component d ~ U(-0.01, 0.01) from md5("jit:p:d").  With
+    unit-scale centers the expected inter-center distance dwarfs the
+    0.02 jitter diameter, so cluster cosine structure is unambiguous:
+    IVF with a KMeans quantizer of k = n_clusters recovers the planted
+    partition and 1-probe recall@k is exactly 1.0 - the deterministic
+    fixture the partial-probe recall gate needs (near-random vectors
+    give unstable 0.2-1.0 recall)."""
+
+    def _unit(tag: str, salt_cols) -> F.Column:
+        h = F.md5(F.concat_ws(":", F.lit(tag), *salt_cols))
+        return (
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+            / float(0xFFFFFFFF)
+        ) * 2.0 - 1.0
+
+    base = spark.range(n_clusters * per_cluster).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % n_clusters).cast("int").alias("label"),
+    )
+    comps = [
+        (
+            _unit("ctr", [F.col("label"), F.lit(d)])
+            + 0.01 * _unit("jit", [F.col("vec_id"), F.lit(d)])
+        ).cast("float")
+        for d in range(dim)
+    ]
+    return base.select(
+        "vec_id", F.array(*comps).alias("embedding"), "label"
+    )

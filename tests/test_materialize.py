@@ -115,3 +115,11 @@ def test_compact_canonical_globally_dedups(spark, docs_df, tmp_path):
     assert (
         M.read_graph_table(spark, out, "rawtokens").count() == distinct_rows
     )
+    # single-rewrite: staging/old dirs swapped away, no read-back copy
+    import os
+
+    leftovers = [
+        d for d in os.listdir(out)
+        if d.startswith("__compact_") or d.startswith("__old_")
+    ]
+    assert leftovers == []

@@ -127,3 +127,29 @@ def test_ivf_memo_distinguishes_corpora(spark):
     # the full corpus' neighbors (which include odd ids at this SF)
     assert all(v % 2 == 0 for v in half_ids)
     assert any(v % 2 == 1 for v in full_ids)
+
+
+def test_planted_cluster_recall_is_deterministically_one(spark):
+    """clustered_embeddings plants 8 well-separated clusters; 1-probe
+    IVF recall@10 must be exactly 1.0 for several in-cluster queries,
+    and exact top-10 must be the query's cluster mates."""
+    from riksdagen_sentences_spark.operators import similarity as SIM
+    from riksdagen_sentences_spark.sources.synth import clustered_embeddings
+
+    emb = clustered_embeddings(spark).persist()
+    try:
+        for q in (0, 7, 123):
+            exact = {
+                r["vec_id"] for r in SIM.cosine_topk(emb, q, k=10).collect()
+            }
+            approx = {
+                r["vec_id"]
+                for r in SIM.ivf_topk(
+                    emb, q, k=10, n_cells=8, n_probe=1,
+                    index_tag="recall_test",
+                ).collect()
+            }
+            assert exact == approx
+            assert all(v % 8 == q % 8 for v in exact)
+    finally:
+        emb.unpersist()
