@@ -200,6 +200,11 @@ def main() -> None:
         repeats=2,
     )
 
+    # deregister the serving tables so repeat bench runs (or anything
+    # else sharing the warehouse) start from a clean session catalog
+    for t in ("sentences", "rawtokens", "occursin"):
+        spark.sql(f"DROP TABLE IF EXISTS bench_serve_{t}")
+
     # q6: relational join+agg (broadcast dim + fact-fact join)
     def q_revenue():
         (

@@ -2651,35 +2651,46 @@ _SERVE_MEMO: dict = {}
 
 
 def _served_catalog(spark: SparkSession, sf: str):
+    """(catalog, table_prefix) for a serving lake built from ``sf``.
+    Bucketed tables live in the SESSION catalog (saveAsTable), so the
+    prefix carries an sf tag - one session serving several sf_dirs
+    (tools/parity.py sweeps) must not overwrite one lake's table names
+    with another's."""
+    import hashlib
+    import tempfile
+
     from ..sources.tables import ParquetCatalog
 
     key = (spark.sparkContext.applicationId, sf)
     if key not in _SERVE_MEMO:
-        import tempfile
-
+        prefix = f"srv{hashlib.sha256(sf.encode()).hexdigest()[:8]}_"
         cat = ParquetCatalog(
             spark, tempfile.mkdtemp(prefix="sgraft_serve_lake_")
         )
-        L.materialize_serving_tables(spark, _docs(spark, sf), cat)
-        _SERVE_MEMO[key] = cat
+        L.materialize_serving_tables(
+            spark, _docs(spark, sf), cat, prefix=prefix
+        )
+        _SERVE_MEMO[key] = (cat, prefix)
     return _SERVE_MEMO[key]
+
+
+def _lookup_served(spark, sf, token, limit, offset):
+    cat, prefix = _served_catalog(spark, sf)
+    return L.lookup_from_catalog(
+        spark, cat, token, "Q1084", "en",
+        limit=limit, offset=offset, prefix=prefix,
+    )
 
 
 _register(
     "lookup_simple_token_served",
-    lambda spark, sf: L.lookup_from_catalog(
-        spark, _served_catalog(spark, sf), "scan", "Q1084", "en",
-        limit=20, offset=5,
-    ),
+    lambda spark, sf: _lookup_served(spark, sf, "scan", 20, 5),
     ORACLES["lookup_simple_token"],
 )
 
 _register(
     "lookup_compound_token_served",
-    lambda spark, sf: L.lookup_from_catalog(
-        spark, _served_catalog(spark, sf), "table scan", "Q1084", "en",
-        limit=20, offset=0,
-    ),
+    lambda spark, sf: _lookup_served(spark, sf, "table scan", 20, 0),
     ORACLES["lookup_compound_token"],
 )
 

@@ -284,6 +284,16 @@ def mention_rows(
     return m.dropDuplicates(["sentence_id", "label", "ner_label"])
 
 
+def gazetteer_max_words(gazetteer_df: DataFrame) -> int:
+    """Longest term width (in words) of a gazetteer - the value
+    ``mention_rows_join``'s ``max_term_words`` must cover.  One tiny
+    agg job over the (broadcast-scale) dictionary; call it once at
+    pipeline-build time, not per batch."""
+    return gazetteer_df.agg(
+        F.max(F.size(F.split(F.col("term"), " "))).alias("w")
+    ).first()["w"]
+
+
 def mention_rows_join(
     sentences_df: DataFrame,
     gazetteer_df: DataFrame,

@@ -341,3 +341,28 @@ def test_mention_join_whole_word_and_multispace_semantics(spark):
         for r in P.mention_rows_join(sents, dims.gazetteer(spark)).collect()
     }
     assert got == {("s1", "hash join"), ("s4", "spark")}
+
+
+def test_mention_join_three_word_phrases_and_width_validator(spark):
+    """max_term_words generalizes beyond bigrams, and
+    gazetteer_max_words reports the width the caller must cover."""
+    from riksdagen_sentences_spark.sources import dims
+
+    gaz = spark.createDataFrame(
+        [("sort merge join", "PRODUCT"), ("spark", "ORG")],
+        "term string, ner_label string",
+    )
+    assert P.gazetteer_max_words(gaz) == 3
+    assert P.gazetteer_max_words(dims.gazetteer(spark)) == 2
+    sents = spark.createDataFrame(
+        [("s1", "a sort merge join here"), ("s2", "sort merge only")],
+        "sentence_id string, cleaned string",
+    )
+    got = {
+        (r["sentence_id"], r["label"])
+        for r in P.mention_rows_join(sents, gaz, max_term_words=3).collect()
+    }
+    assert got == {("s1", "sort merge join")}
+    # an under-covering width is blind to the 3-word phrase (documented)
+    narrow = P.mention_rows_join(sents, gaz, max_term_words=2)
+    assert narrow.count() == 0

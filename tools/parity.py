@@ -43,9 +43,21 @@ def main() -> int:
     entry = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(entry)
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    def fresh_con():
+        c = duckdb.connect()
+        # long 90+-query sweeps on one connection have hit spurious
+        # "Out of Memory Error: Failed to allocate block of 32768
+        # bytes" with >100 GB free (allocator accumulation); cap +
+        # spill makes runs deterministic, and oracle errors retry on a
+        # fresh connection below
+        c.execute("SET memory_limit='24GB'")
+        c.execute("SET threads TO 8")
+        c.execute("SET temp_directory='/tmp/duckdb_parity_spill'")
+        for t in TABLES:
+            c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        return c
+
+    con = fresh_con()
 
     queries, oracles = entry.queries(), entry.oracle_sql()
     failures = 0
@@ -64,7 +76,15 @@ def main() -> int:
             if name not in oracles:
                 print(f"{name:36s} rows-only {len(got)}")
                 continue
-            exp = con.sql(oracles[name]).fetchdf()
+            try:
+                exp = con.sql(oracles[name]).fetchdf()
+            except duckdb.Error:
+                import gc
+
+                con.close()
+                gc.collect()
+                con = fresh_con()
+                exp = con.sql(oracles[name]).fetchdf()
             cols = sorted(got.columns)
             if sorted(exp.columns) != cols:
                 print(f"{name:36s} COLMISMATCH {sorted(exp.columns)} vs {cols}")
