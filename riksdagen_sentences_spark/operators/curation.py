@@ -1,0 +1,161 @@
+"""Training-data curation operators beyond dedup: repetition quality
+signals, benchmark decontamination, deterministic stratified sampling.
+
+All three are standard large-corpus pipeline stages (Gopher/C4-style
+repetition filters; GPT-3-style n-gram decontamination against held-out
+benchmarks; mixture sampling by source weights).  Spark side is pure
+JVM column expressions / one broadcast join; DuckDB oracle twins are
+generated in plans/corpus.py from the same constants.
+
+Scale notes
+- repetition_stats: per-row array expressions only - no shuffle at all.
+- decontaminate: doc-shingle explode is linear in corpus tokens; the
+  benchmark shingle set is broadcast (benchmarks are MBs, corpora TBs),
+  and the contaminated-id set flows back as a broadcast anti-join - the
+  corpus is never shuffled.
+- stratified_sample: a filter on md5 arithmetic - embarrassingly
+  parallel, no shuffle, reproducible across runs/cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .neardup import words_col
+
+# n-gram width for repetition signals (Gopher uses 2-4; 3 matches the
+# neardup shingle width) and for decontamination overlap (longer grams
+# ~= exact benchmark phrases; GPT-3 used 13, scaled down for the
+# fixture-sized corpus here)
+REPETITION_K = 3
+DECONTAM_K = 8
+SAMPLE_MOD = 1_000_000
+
+
+def _grams_col(text: Column, k: int) -> Column:
+    """ALL word k-grams (with repeats - repetition needs multiplicity,
+    unlike the distinct shingles_col)."""
+    w = words_col(text)
+    n = F.size(w)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.array_join(F.slice(w, i + 1, k), " "),
+    )
+    return F.when(n >= k, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _ratio4(num: Column, den: Column) -> Column:
+    raw = F.when(den == 0, F.lit(0.0)).otherwise(
+        num.cast("double") / den.cast("double")
+    )
+    return F.floor(raw * 10000.0 + F.lit(0.5)) / 10000.0
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", k: int = REPETITION_K
+) -> DataFrame:
+    """Per-document repetition signals (Gopher-style quality gates):
+    duplicate k-gram ratio (1 - distinct/total occurrences) and
+    duplicate line ratio.  Pure per-row arrays - no shuffle."""
+    text = F.col(text_col)
+    grams = _grams_col(text, k)
+    total = F.size(grams)
+    uniq = F.size(F.array_distinct(grams))
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    n_lines = F.size(lines)
+    u_lines = F.size(F.array_distinct(lines))
+    return docs.select(
+        "doc_id",
+        total.alias("total_ngrams"),
+        _ratio4(total - uniq, total).alias("dup_ngram_ratio"),
+        n_lines.alias("total_lines"),
+        _ratio4(n_lines - u_lines, n_lines).alias("dup_line_ratio"),
+    )
+
+
+def contaminated_doc_ids(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    k: int = DECONTAM_K,
+) -> DataFrame:
+    """doc_ids sharing ANY word k-gram with the benchmark corpus
+    (GPT-3-style n-gram decontamination).  The benchmark's distinct
+    shingle set is broadcast; the corpus explodes once and semi-joins -
+    linear, never shuffled on the corpus side."""
+    doc_sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_grams_col(F.col(text_col), k))).alias(
+            "shingle"
+        ),
+    )
+    bench_sh = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(_grams_col(F.col(text_col), k))
+            ).alias("shingle")
+        )
+        .dropDuplicates(["shingle"])
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .dropDuplicates(["doc_id"])
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    k: int = DECONTAM_K,
+) -> DataFrame:
+    """docs minus any document sharing a k-gram with the benchmark.
+    The contaminated-id set is tiny relative to the corpus - broadcast
+    anti-join, corpus unshuffled."""
+    bad = contaminated_doc_ids(docs, benchmark, text_col, k)
+    return docs.join(F.broadcast(bad), "doc_id", "left_anti")
+
+
+def sample_keep_col(
+    id_col: Column, fraction: Column | float, salt: str = "samp"
+) -> Column:
+    """Deterministic Bernoulli keep-decision: fold md5(salt:id) to a
+    60-bit int, keep when (fold % 1e6) < fraction * 1e6.  Identical
+    arithmetic is expressible in any engine (the DuckDB twin uses the
+    same md5), so samples are reproducible across runs, cluster sizes,
+    and engines - unlike rand(seed), which is partitioning-dependent."""
+    fold = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), id_col.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    frac = fraction if isinstance(fraction, Column) else F.lit(fraction)
+    return (fold % SAMPLE_MOD) < (frac * SAMPLE_MOD).cast("bigint")
+
+
+def stratified_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    salt: str = "samp",
+) -> DataFrame:
+    """Per-group deterministic sampling by mixture weight (training-data
+    mixture construction).  Groups absent from ``weights`` are dropped
+    (weight 0).  A broadcast map join + filter - no shuffle."""
+    import itertools
+
+    pairs = list(itertools.chain.from_iterable(weights.items()))
+    wmap = F.create_map(*[F.lit(x) for x in pairs])
+    frac = wmap[F.col(group_col)]
+    return docs.filter(
+        frac.isNotNull() & sample_keep_col(F.col("doc_id"), frac, salt)
+    )

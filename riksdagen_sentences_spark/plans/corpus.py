@@ -2696,6 +2696,95 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Curation operators: repetition signals, decontamination, stratified
+# sampling (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+from ..operators import curation as CU  # noqa: E402
+
+
+def _all_grams_sql(k: int) -> str:
+    return (
+        f"list_transform(range(0, len({_WORDS_SQL}) - {k} + 1), "
+        f"i -> array_to_string(list_slice({_WORDS_SQL}, i + 1, i + {k}), "
+        "' '))"
+    )
+
+
+_LINES_SQL = (
+    "list_filter(list_transform(string_split(text, chr(10)), "
+    "x -> trim(x)), x -> x <> '')"
+)
+
+
+def _dup_ratio_sql(arr: str) -> str:
+    return (
+        f"floor((CASE WHEN len({arr}) = 0 THEN 0.0 ELSE "
+        f"CAST(len({arr}) - len(list_distinct({arr})) AS DOUBLE) "
+        f"/ len({arr}) END) * 10000.0 + 0.5) / 10000.0"
+    )
+
+
+_register(
+    "doc_repetition_stats",
+    lambda spark, sf: CU.repetition_stats(_read(spark, sf, "documents")),
+    "WITH g AS (SELECT doc_id, "
+    f"{_all_grams_sql(CU.REPETITION_K)} AS grams, {_LINES_SQL} AS lines "
+    "FROM documents) "
+    "SELECT doc_id, len(grams) AS total_ngrams, "
+    f"{_dup_ratio_sql('grams')} AS dup_ngram_ratio, "
+    "len(lines) AS total_lines, "
+    f"{_dup_ratio_sql('lines')} AS dup_line_ratio FROM g",
+)
+
+
+def _decontaminated_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _read(spark, sf, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    bad = CU.contaminated_doc_ids(docs, bench).withColumn("c", F.lit(1))
+    return docs.join(bad, "doc_id", "left").agg(
+        F.count("*").alias("total_docs"),
+        F.sum(F.coalesce("c", F.lit(0))).alias("contaminated_docs"),
+        (F.count("*") - F.sum(F.coalesce("c", F.lit(0)))).alias(
+            "surviving_docs"
+        ),
+    )
+
+
+_register(
+    "decontaminated_corpus_stats",
+    _decontaminated_corpus_stats,
+    "WITH sh AS (SELECT doc_id, unnest(list_distinct("
+    f"{_all_grams_sql(CU.DECONTAM_K)})) AS s FROM documents), "
+    "bad AS (SELECT DISTINCT doc_id FROM sh WHERE s IN "
+    "(SELECT s FROM sh WHERE doc_id % 97 = 0)) "
+    "SELECT (SELECT COUNT(*) FROM documents) AS total_docs, "
+    "(SELECT COUNT(*) FROM bad) AS contaminated_docs, "
+    "(SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM bad) "
+    "AS surviving_docs",
+)
+
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+
+_register(
+    "stratified_sample_by_source",
+    lambda spark, sf: CU.stratified_sample(
+        _read(spark, sf, "documents"), _MIX_WEIGHTS
+    )
+    .groupBy("source")
+    .agg(F.count("*").alias("n")),
+    "SELECT source, COUNT(*) AS n FROM documents "
+    "WHERE (CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000 "
+    "WHEN 'src2' THEN 250000 END) IS NOT NULL "
+    "AND (CAST(concat('0x', substr(md5('samp:' || "
+    "CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % "
+    f"{CU.SAMPLE_MOD}) < (CASE source WHEN 'src0' THEN 1000000 "
+    "WHEN 'src1' THEN 500000 WHEN 'src2' THEN 250000 END) "
+    "GROUP BY source",
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 entries of

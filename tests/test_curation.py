@@ -1,0 +1,64 @@
+"""Curation operators: repetition signals, decontamination, stratified
+sampling (operators/curation.py)."""
+
+from pyspark.sql import functions as F
+
+from riksdagen_sentences_spark.operators import curation as CU
+
+
+def test_repetition_stats_flags_duplicated_ngrams_and_lines(spark):
+    docs = spark.createDataFrame(
+        [
+            # "a b c" appears twice among 4 3-grams -> dup ratio 0.25
+            (1, "a b c d a b c"),
+            (2, "all words unique here now"),          # ratio 0
+            (3, "x\ny\nx\n  \nz"),                     # dup line 1/4
+            (4, "ab"),                                 # < k words
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in CU.repetition_stats(docs).collect()}
+    assert got[1]["total_ngrams"] == 5
+    assert got[1]["dup_ngram_ratio"] == 0.2  # 1 dup occurrence of 5
+    assert got[2]["dup_ngram_ratio"] == 0.0
+    assert got[3]["total_lines"] == 4 and got[3]["dup_line_ratio"] == 0.25
+    assert got[4]["total_ngrams"] == 0 and got[4]["dup_ngram_ratio"] == 0.0
+
+
+def test_decontaminate_catches_partial_overlap(spark):
+    phrase = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix words then {phrase} and a tail"),  # contaminated
+            (2, "totally unrelated content with no overlap at all"),
+            (3, phrase),  # benchmark doc itself
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = docs.filter(F.col("doc_id") == 3)
+    bad = {
+        r["doc_id"] for r in CU.contaminated_doc_ids(docs, bench).collect()
+    }
+    assert bad == {1, 3}  # partial overlap caught, not just identity
+    kept = {r["doc_id"] for r in CU.decontaminate(docs, bench).collect()}
+    assert kept == {2}
+
+
+def test_stratified_sample_deterministic_and_weighted(spark):
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias(
+            "source"
+        ),
+    )
+    weights = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    a = sorted(map(tuple, CU.stratified_sample(docs, weights).collect()))
+    b = sorted(map(tuple, CU.stratified_sample(docs, weights).collect()))
+    assert a == b  # reproducible, not rand()-dependent
+    by_src = {}
+    for _, src in a:
+        by_src[src] = by_src.get(src, 0) + 1
+    assert by_src.get("src0") == 1000          # weight 1.0 keeps all
+    assert 400 <= by_src.get("src1", 0) <= 600  # ~0.5 of 1000
+    assert "src2" not in by_src                # explicit 0
+    assert "src3" not in by_src                # absent -> dropped
