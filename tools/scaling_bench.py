@@ -83,6 +83,7 @@ def main() -> None:
         ).parquet(input_path)
         spark.stop()
 
+    loadavg_start = round(os.getloadavg()[0], 2)
     results = [run_level(p, input_path) for p in LEVELS]
     lo, hi = results[0], results[-1]
     speedup = lo["seconds_best"] / hi["seconds_best"]
@@ -95,6 +96,8 @@ def main() -> None:
         "speedup": round(speedup, 3),
         "ideal": ideal,
         "efficiency": round(eff, 3),
+        "loadavg_start": loadavg_start,
+        "loadavg_end": round(os.getloadavg()[0], 2),
     }
     print(json.dumps(summary))
 
