@@ -2785,6 +2785,49 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Sequence packing (distributed prefix sum; operators/packing.py)
+# ---------------------------------------------------------------------------
+# Bin stats of contiguous 4096-BPE-token packing over documents in
+# doc_id order.  The Spark side uses the two-phase range-partitioned
+# prefix sum (NO single-partition global window); the oracle is the
+# equivalent SUM() OVER (ORDER BY) arithmetic.
+
+from ..operators import packing as PK  # noqa: E402
+
+_PACK_CAPACITY = 4096
+
+
+def _token_packing_bins(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _read(spark, sf, "documents").select(
+        "doc_id",
+        TS.bpe_token_count_col(F.col("text")).alias("tokens"),
+    )
+    packed = PK.pack_into_bins(docs, _PACK_CAPACITY)
+    return packed.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_register(
+    "token_packing_bins",
+    _token_packing_bins,
+    "WITH t AS (SELECT doc_id, "
+    f"len(regexp_extract_all(text, '{TS.BPE_RE}')) AS tokens "
+    "FROM documents), "
+    "p AS (SELECT doc_id, tokens, "
+    "SUM(tokens) OVER (ORDER BY doc_id) AS prefix FROM t) "
+    f"SELECT CAST(floor(CAST(prefix - tokens AS DOUBLE) / {_PACK_CAPACITY}) "
+    "AS BIGINT) AS bin, COUNT(*) AS n_docs, "
+    "CAST(SUM(tokens) AS BIGINT) AS bin_tokens, "
+    "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc "
+    "FROM p GROUP BY 1",
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 entries of

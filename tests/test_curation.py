@@ -62,3 +62,50 @@ def test_stratified_sample_deterministic_and_weighted(spark):
     assert 400 <= by_src.get("src1", 0) <= 600  # ~0.5 of 1000
     assert "src2" not in by_src                # explicit 0
     assert "src3" not in by_src                # absent -> dropped
+
+
+def test_distributed_prefix_sum_matches_sequential(spark):
+    """Two-phase range-partitioned prefix sum == the sequential answer,
+    across partition boundaries, and with no single-partition global
+    window in the plan."""
+    import random
+
+    from riksdagen_sentences_spark.operators import packing as PK
+
+    rng = random.Random(13)
+    rows = [(i, rng.randint(1, 500)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, tokens bigint")
+    got = {
+        r["doc_id"]: r["prefix"]
+        for r in PK.prefix_sum(df, "tokens", "doc_id", n_partitions=7)
+        .collect()
+    }
+    run, exp = 0, {}
+    for i, t in rows:
+        run += t
+        exp[i] = run
+    assert got == exp
+    # the plan's windows are all partitioned by __pid - a global
+    # orderBy-only window (the single-task scale-killer) never appears
+    plan = (
+        PK.prefix_sum(df, "tokens", "doc_id", n_partitions=7)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in plan.splitlines():
+        if "Window " in line or "Window[" in line:
+            assert "partitionBy" not in line or "__pid" in line
+
+
+def test_pack_into_bins_contiguous_with_overflow(spark):
+    from riksdagen_sentences_spark.operators import packing as PK
+
+    df = spark.createDataFrame(
+        [(1, 60), (2, 60), (3, 60), (4, 10), (5, 100)],
+        "doc_id bigint, tokens bigint",
+    )
+    got = {
+        r["doc_id"]: r["bin"]
+        for r in PK.pack_into_bins(df, 100, n_partitions=3).collect()
+    }
+    # prefixes: 60,120,180,190,290 -> exclusive starts 0,60,120,180,190
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
