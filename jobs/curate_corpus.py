@@ -57,6 +57,13 @@ def main() -> None:
         default=None,
         help='JSON {source: fraction} mixture weights; omit to keep all',
     )
+    ap.add_argument(
+        "--pack-capacity",
+        type=int,
+        default=0,
+        help="if > 0, assign surviving docs to fixed-token-budget bins "
+        "(distributed prefix sum) and write a `bin` column",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -114,6 +121,18 @@ def main() -> None:
         report["after_mixture_sample"] = d.count()
 
     out = d.drop("quality", "fingerprint", "dup_ngram_ratio")
+    if args.pack_capacity > 0:
+        from riksdagen_sentences_spark.operators import packing as PK
+
+        out = PK.pack_into_bins(
+            out.withColumn(
+                "tokens", TS.bpe_token_count_col(F.col("text"))
+            ),
+            args.pack_capacity,
+        )
+        report["bins"] = out.agg(
+            (F.max("bin") + 1).cast("int").alias("b")
+        ).first()["b"]
     out.write.mode("overwrite").parquet(os.path.join(args.output, "docs"))
     report["written"] = report[
         "after_mixture_sample" if args.weights
