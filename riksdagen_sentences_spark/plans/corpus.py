@@ -2784,6 +2784,41 @@ _register(
 )
 
 
+# Per-source corpus stats - the aggregate a mixture designer reads
+# before choosing stratified_sample weights: doc and token mass plus
+# mean quality per source.  One hash aggregate.
+_register(
+    "source_mixture_stats",
+    lambda spark, sf: _read(spark, sf, "documents")
+    .select(
+        "source",
+        TS.bpe_token_count_col(F.col("text")).alias("t"),
+        TS.quality_score_col(F.col("text")).alias("q"),
+    )
+    .groupBy("source")
+    .agg(
+        F.count("*").alias("n_docs"),
+        F.sum("t").alias("total_bpe_tokens"),
+        (F.floor(F.avg("q") * 10000.0 + F.lit(0.5)) / 10000.0).alias(
+            "avg_quality"
+        ),
+    ),
+    "WITH t AS (SELECT source, "
+    f"len(regexp_extract_all(text, '{TS.BPE_RE}')) AS t, "
+    "floor(greatest(0.0, least(1.0, "
+    "least(CAST(len(list_filter(string_split_regex(text, "
+    "'[\\t\\n\\f\\r\\x0B ]+'), w -> w <> '')) AS DOUBLE) / 100.0, 1.0) "
+    "- (CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+    "floor(CAST(len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) "
+    "AS DOUBLE) / length(text) * 10000.0 + 0.5) / 10000.0 END) * 2.0)) "
+    "* 10000.0 + 0.5) / 10000.0 AS q FROM documents) "
+    "SELECT source, COUNT(*) AS n_docs, "
+    "CAST(SUM(t) AS BIGINT) AS total_bpe_tokens, "
+    "floor(AVG(q) * 10000.0 + 0.5) / 10000.0 AS avg_quality "
+    "FROM t GROUP BY source",
+)
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing (distributed prefix sum; operators/packing.py)
 # ---------------------------------------------------------------------------
