@@ -7,13 +7,25 @@ partitionBy - collapses the whole table into ONE task (Spark must see
 the total order), which is the classic 100 TB scale-killer hiding in a
 one-liner.  Instead:
 
-1. range-repartition by the order key (each partition owns a contiguous
-   key range, `repartitionByRange`),
-2. per-partition prefix sums with a window PARTITIONED by
-   ``spark_partition_id()`` (parallel, no global sort),
-3. per-partition totals (one tiny agg, #partitions rows) cumulated on
-   the driver - bounded metadata, not data - and joined back as a
-   broadcast offset.
+1. project down to ``(order_col, value_col)`` BEFORE any shuffle (the
+   parquet scan is column-pruned; full rows/text never ride the range
+   exchange),
+2. range-repartition by the order key (each partition owns a contiguous
+   key range, `repartitionByRange`), stamp ``spark_partition_id()`` and
+   ``localCheckpoint(eager=True)`` the result: the shuffle + partition
+   assignment is MATERIALIZED exactly once.  This is load-bearing for
+   correctness, not just I/O: ``RangePartitioner`` samples its range
+   boundaries with an RDD-id-derived seed, so re-evaluating the plan
+   (one job for the offsets, another for the result) can assign rows to
+   DIFFERENT partitions once the sampler actually samples at scale -
+   offsets built for one partitioning would silently corrupt prefixes
+   near boundaries.  The eager checkpoint pins one partitioning for
+   both downstream jobs and makes the post-shuffle input read-once,
+3. per-partition prefix sums with a window PARTITIONED by the stamped
+   ``__pid`` (parallel, no global sort),
+4. per-partition totals (one tiny agg over the checkpointed blocks,
+   #partitions rows) cumulated on the driver - bounded metadata, not
+   data - and applied as a broadcast map offset.
 
 Bin assignment is contiguous-with-overflow: bin = floor(exclusive
 prefix / capacity), so a document straddling a boundary lands in the
@@ -21,6 +33,11 @@ bin where its first token falls and may overfill it by < 1 document -
 the standard streaming-packing tradeoff (no bin-level shuffle, fully
 deterministic).  DuckDB oracle: the same arithmetic over
 ``SUM(...) OVER (ORDER BY ...)``.
+
+The checkpoint blocks are narrow (two columns + a pid int) and live for
+the session unless released; callers that loop over many corpora can
+free them via ``cache.release_intermediates`` semantics (the blocks
+hang off the LogicalRDD leaf, see operators/cache.py).
 """
 
 from __future__ import annotations
@@ -36,22 +53,34 @@ def prefix_sum(
     order_col: str,
     n_partitions: int = 32,
 ) -> DataFrame:
-    """df + ``prefix`` (inclusive prefix sum of value_col in order_col
-    order) without a single-partition global window."""
-    part = df.repartitionByRange(n_partitions, F.col(order_col)).select(
-        "*", F.spark_partition_id().alias("__pid")
+    """``(order_col, value_col, prefix)`` - inclusive prefix sum of
+    value_col in order_col order - without a single-partition global
+    window and with the input scanned ONCE after the range shuffle.
+
+    ``order_col`` must be unique (a total order is what a prefix sum
+    is defined over; ties would make both the window frame and any
+    join-back on the key ambiguous).
+    """
+    narrow = (
+        df.select(order_col, value_col)
+        .repartitionByRange(n_partitions, F.col(order_col))
+        .select("*", F.spark_partition_id().alias("__pid"))
+        .localCheckpoint(eager=True)
     )
-    local = part.withColumn(
+    local = narrow.withColumn(
         "__local",
         F.sum(value_col).over(
             Window.partitionBy("__pid").orderBy(order_col)
         ),
     )
     # one row per partition: bounded driver metadata (not a data
-    # collect); offsets[p] = sum of all values in partitions < p
+    # collect); offsets[p] = sum of all values in partitions < p.
+    # Reads the checkpointed blocks - no second pass over the input,
+    # and __pid here is by construction the same assignment the window
+    # job sees.
     totals = {
         r["__pid"]: r["__t"]
-        for r in part.groupBy("__pid")
+        for r in narrow.groupBy("__pid")
         .agg(F.sum(value_col).alias("__t"))
         .collect()
     }
@@ -67,7 +96,7 @@ def prefix_sum(
         off_col = F.lit(0)
     return local.withColumn(
         "prefix", (F.col("__local") + off_col).cast("bigint")
-    ).drop("__pid", "__local")
+    ).select(order_col, value_col, "prefix")
 
 
 def pack_into_bins(
@@ -78,11 +107,23 @@ def pack_into_bins(
     n_partitions: int = 32,
 ) -> DataFrame:
     """(… , prefix, bin): contiguous greedy packing of documents into
-    ``capacity``-token bins in ``order_col`` order."""
+    ``capacity``-token bins in ``order_col`` order.
+
+    Only ``(order_col, token_col)`` goes through the prefix-sum range
+    shuffle; when the input carries more columns (e.g. full document
+    text in a curation job) they are re-attached by an equi-join on the
+    unique order key AFTER the narrow arithmetic - the wide rows are
+    shuffled once by the join instead of riding the range exchange,
+    the window and the checkpoint."""
     ps = prefix_sum(docs_with_tokens, token_col, order_col, n_partitions)
-    return ps.withColumn(
+    bins = ps.withColumn(
         "bin",
         F.floor(
             (F.col("prefix") - F.col(token_col)) / F.lit(capacity)
         ).cast("bigint"),
+    )
+    if set(docs_with_tokens.columns) <= {order_col, token_col}:
+        return bins
+    return docs_with_tokens.join(
+        bins.select(order_col, "prefix", "bin"), order_col
     )

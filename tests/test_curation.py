@@ -109,3 +109,35 @@ def test_pack_into_bins_contiguous_with_overflow(spark):
     }
     # prefixes: 60,120,180,190,290 -> exclusive starts 0,60,120,180,190
     assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
+
+
+def test_prefix_sum_materializes_range_shuffle_once(spark):
+    """The range-partitioned narrow frame is localCheckpoint'ed eagerly:
+    the returned plan reads the checkpointed RDD (Scan ExistingRDD) and
+    contains NO rangepartitioning exchange - so the offsets job and the
+    result job consume the SAME materialized partition assignment
+    (RangePartitioner re-sampling between jobs can otherwise move rows
+    across partitions at scale) and the input is scanned exactly once
+    after the shuffle."""
+    from riksdagen_sentences_spark.operators import packing as PK
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("tokens")
+    )
+    plan = (
+        PK.prefix_sum(df, "tokens", "doc_id", n_partitions=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ExistingRDD" in plan            # checkpointed blocks
+    assert "rangepartitioning" not in plan  # shuffle already paid
+
+    # full rows must not ride the range shuffle: pack_into_bins over a
+    # wide frame re-attaches payload by join AFTER the narrow prefix
+    wide = df.withColumn("text", F.repeat(F.lit("x"), 50))
+    packed = PK.pack_into_bins(wide, 100, n_partitions=5)
+    assert set(packed.columns) == {"doc_id", "tokens", "text", "prefix", "bin"}
+    got = {r["doc_id"]: r["prefix"] for r in packed.collect()}
+    run = 0
+    for i in range(200):
+        run += i % 7 + 1
+        assert got[i] == run
