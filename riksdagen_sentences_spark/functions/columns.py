@@ -244,23 +244,33 @@ def sentence_accept_col(
     )
 
 
-def mentions_col(cleaned: Column) -> Column:
+def mentions_col(
+    cleaned: Column,
+    gazetteer: tuple[tuple[str, str], ...] | None = None,
+) -> Column:
     """JVM twin of kernels/ner.extract_entities: whole-word,
     case-insensitive gazetteer match inside the CLEANED sentence
     (reference models/entities.py:21-27) as an array<struct<label,
     ner_label>> in gazetteer order - one `contains` per term, all
     whole-stage codegen, no Python.  Used on the default path
     (pipeline.mention_rows); the pandas UDF remains as the kernel twin
-    for parity pinning."""
+    for parity pinning.
+
+    ``gazetteer`` defaults to the demo dict (semantics.GAZETTEER); a
+    custom (term, ner_label) sequence compiles its own contains chain.
+    This shape is term-count-BOUND (one codegen'd predicate per term) -
+    production dictionaries dispatch to the join-shaped matcher via
+    pipeline.mention_rows(gazetteer=...)."""
+    terms = S.GAZETTEER if gazetteer is None else gazetteer
     padded = F.concat(F.lit(" "), F.lower(cleaned), F.lit(" "))
     entries = [
         F.when(
-            padded.contains(f" {label} "),
+            padded.contains(f" {label.lower()} "),
             F.struct(
-                F.lit(label).alias("label"),
+                F.lit(label.lower()).alias("label"),
                 F.lit(ner_label).alias("ner_label"),
             ),
         )
-        for label, ner_label in S.GAZETTEER
+        for label, ner_label in terms
     ]
     return F.filter(F.array(*entries), lambda x: x.isNotNull())

@@ -2611,6 +2611,27 @@ _register(
 )
 
 
+def _triples_mentions_dispatch_100k(spark: SparkSession, sf: str) -> DataFrame:
+    """The DEFAULT graph build (pipeline.triples) fed a production-sized
+    100k-term gazetteer: mention_rows dispatches by dictionary size to
+    the broadcast n-gram join matcher (round-5 close of the
+    demo-dict-only default path), deriving+validating max_term_words
+    from the dict itself.  Filtering the union to pred='mentions'
+    constant-folds the other five branches away, so the oracle is the
+    exact mention_edges SQL - the synthetic pad terms ('zner' prefix)
+    provably cannot match corpus tokens."""
+    gaz = dims.synthetic_gazetteer(spark, 100_000)
+    t = P.triples(spark, _docs(spark, sf), cache=False, gazetteer=gaz)
+    return t.filter(F.col("pred") == S.PRED_MENTIONS)
+
+
+_register(
+    "triples_mentions_dispatch_100k",
+    _triples_mentions_dispatch_100k,
+    ORACLES["mention_edges"],
+)
+
+
 # ---------------------------------------------------------------------------
 # Watermark late-data evidence through a REAL micro-batch stream
 # ---------------------------------------------------------------------------

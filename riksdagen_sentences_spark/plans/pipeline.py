@@ -260,24 +260,79 @@ def normtokens(token_base_df: DataFrame) -> DataFrame:
     )
 
 
+# Above this many dictionary terms the contains-chain stops being the
+# right plan (one codegen'd predicate per term; compilation and
+# per-row cost are term-count-bound) and the n-gram explode + broadcast
+# hash join takes over, whose cost is dictionary-size-independent.
+NER_JOIN_THRESHOLD = 200
+
+
 def mention_rows(
-    sentences_df: DataFrame, use_udf_ner: bool = False
+    sentences_df: DataFrame,
+    use_udf_ner: bool = False,
+    gazetteer: DataFrame | None = None,
+    join_threshold: int = NER_JOIN_THRESHOLD,
+    max_term_words: int | None = None,
 ) -> DataFrame:
     """One gazetteer pass: (sentence_id, label, ner_label), set-deduped
     per sentence (reference models/entity.py:14-18,
     models/entities.py:14,21-27).  ``entities`` and ``mention_edges``
     both derive from this frame so the match runs once.
 
-    Default path is the pure-JVM column twin (columns.mentions_col -
-    one codegen'd ``contains`` per gazetteer term; round 3 removed the
-    last always-Python kernel from graph construction); the pandas-UDF
-    kernel remains behind ``use_udf_ner`` as the twin the tests pin
-    row-for-row equal."""
-    matcher = (
-        U.ner_udf(F.col("cleaned"))
-        if use_udf_ner
-        else C.mentions_col(F.col("cleaned"))
-    )
+    With ``gazetteer=None`` the demo dict (semantics.GAZETTEER) runs as
+    the pure-JVM contains-chain twin (columns.mentions_col); the
+    pandas-UDF kernel remains behind ``use_udf_ner`` as the twin the
+    tests pin row-for-row equal.
+
+    A ``gazetteer`` DataFrame (term, ner_label) DISPATCHES BY SIZE -
+    the reference runs full-model NER unconditionally per sentence
+    (models/entities.py:21-27); here the plan shape is picked for the
+    dictionary actually supplied:
+
+    - <= ``join_threshold`` terms: the dict is collected (bounded by
+      the threshold) and compiled into the contains chain - no join,
+      no explode, best plan for demo-scale dicts;
+    - larger: the join-shaped matcher (:func:`mention_rows_join`),
+      whose ``max_term_words`` is derived from the dictionary itself
+      (:func:`gazetteer_max_words`) so the silent under-width blindness
+      documented there CANNOT happen through this entrypoint.  An
+      explicit ``max_term_words`` below the dictionary's true width
+      raises instead of silently missing long phrases.
+
+    The two dictionary jobs (count + width agg / collect) run once at
+    plan-build time against a broadcast-scale dim - bounded metadata.
+    """
+    if gazetteer is not None:
+        if use_udf_ner:
+            raise ValueError(
+                "use_udf_ner applies only to the demo-dict kernel twin"
+            )
+        n_terms = gazetteer.count()
+        if n_terms > join_threshold:
+            width = gazetteer_max_words(gazetteer)
+            if max_term_words is None:
+                max_term_words = width
+            elif max_term_words < width:
+                raise ValueError(
+                    f"max_term_words={max_term_words} is below the "
+                    f"gazetteer's longest term ({width} words): the "
+                    "join matcher would be silently blind to longer "
+                    "phrases"
+                )
+            return mention_rows_join(
+                sentences_df, gazetteer, max_term_words=max_term_words
+            )
+        terms = tuple(
+            (r["term"], r["ner_label"])
+            for r in gazetteer.select("term", "ner_label").collect()
+        )
+        matcher = C.mentions_col(F.col("cleaned"), terms)
+    else:
+        matcher = (
+            U.ner_udf(F.col("cleaned"))
+            if use_udf_ner
+            else C.mentions_col(F.col("cleaned"))
+        )
     m = sentences_df.select(
         "sentence_id", F.explode(matcher).alias("e")
     ).select("sentence_id", "e.label", "e.ner_label")
@@ -469,6 +524,7 @@ def triples(
     docs: DataFrame,
     use_udf_langid: bool = False,
     cache: bool = True,
+    gazetteer: DataFrame | None = None,
 ) -> DataFrame:
     """The full graph as one (subj, pred, obj) DataFrame.
 
@@ -477,6 +533,12 @@ def triples(
     langid UDF lineage.  (At production scale the same cut-points are
     materialized tables - see plans/materialize.py - so persisting here
     mirrors the real execution shape, not just a local trick.)
+
+    ``gazetteer`` (term, ner_label) selects the NER dictionary for the
+    mentions branch; :func:`mention_rows` dispatches by dictionary size
+    (contains chain vs broadcast n-gram join) and derives/validates the
+    n-gram width from the dict itself, so a production-scale dictionary
+    is safe to pass straight through here.
     """
     base = sentence_base(docs, use_udf_langid=use_udf_langid)
     if cache:
@@ -495,6 +557,13 @@ def triples(
         .unionByName(has_text_edges(sents))
         .unionByName(occurs_in_edges(toks))
         .unionByName(normalizes_to_edges(toks))
-        .unionByName(mention_edges(sents))
+        .unionByName(
+            mention_edges(
+                sents,
+                None
+                if gazetteer is None
+                else mention_rows(sents, gazetteer=gazetteer),
+            )
+        )
         .unionByName(links_to_edges(toks, spark))
     )

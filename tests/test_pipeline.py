@@ -366,3 +366,70 @@ def test_mention_join_three_word_phrases_and_width_validator(spark):
     # an under-covering width is blind to the 3-word phrase (documented)
     narrow = P.mention_rows_join(sents, gaz, max_term_words=2)
     assert narrow.count() == 0
+
+
+def test_mention_rows_dispatches_by_dictionary_size(spark):
+    """The default entrypoint routes a small custom dict to the
+    contains chain (no join in the plan) and a production-sized dict to
+    the broadcast n-gram join, with identical rows either way; an
+    explicit under-width max_term_words raises instead of going
+    silently blind (round-5 close of the demo-dict-only default)."""
+    import pytest
+
+    from riksdagen_sentences_spark.sources import dims
+    from riksdagen_sentences_spark.sources.synth import files_table
+
+    docs = P.docs_from_files(files_table(spark, n_rows=300, seed=11))
+    sents = P.sentences(P.sentence_base(docs)).persist()
+    baseline = sorted(map(tuple, P.mention_rows(sents).collect()))
+
+    small = P.mention_rows(sents, gazetteer=dims.gazetteer(spark))
+    assert sorted(map(tuple, small.collect())) == baseline
+    assert (
+        "BroadcastHashJoin"
+        not in small._jdf.queryExecution().executedPlan().toString()
+    )
+
+    big = P.mention_rows(
+        sents, gazetteer=dims.synthetic_gazetteer(spark, 5_000)
+    )
+    assert sorted(map(tuple, big.collect())) == baseline
+    assert (
+        "BroadcastHashJoin"
+        in big._jdf.queryExecution().executedPlan().toString()
+    )
+
+    # the dispatched width is derived from the dict (2 words); forcing
+    # a narrower window must raise, not miss phrases
+    with pytest.raises(ValueError, match="below the gazetteer"):
+        P.mention_rows(
+            sents,
+            gazetteer=dims.synthetic_gazetteer(spark, 5_000),
+            max_term_words=1,
+        )
+    sents.unpersist()
+
+
+def test_triples_with_production_gazetteer_matches_demo_graph(spark):
+    """triples(gazetteer=100k dict) == triples() - the dispatch wires
+    the join matcher into the default graph build and the synthetic pad
+    terms cannot match."""
+    from riksdagen_sentences_spark.sources import dims
+    from riksdagen_sentences_spark.sources.synth import files_table
+
+    docs = P.docs_from_files(files_table(spark, n_rows=200, seed=7))
+    base = sorted(
+        map(tuple, P.triples(spark, docs, cache=False).collect())
+    )
+    via = sorted(
+        map(
+            tuple,
+            P.triples(
+                spark,
+                docs,
+                cache=False,
+                gazetteer=dims.synthetic_gazetteer(spark, 5_000),
+            ).collect(),
+        )
+    )
+    assert via == base
