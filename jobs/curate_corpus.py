@@ -1,7 +1,12 @@
 """spark-submit entrypoint for the training-data curation pipeline:
-quality gate -> exact dedup -> LSH-verified near-dup removal ->
-n-gram decontamination -> repetition filter -> stratified mixture
-sample, writing the surviving corpus + a per-stage survivor report.
+quality + repetition gate -> exact dedup -> LSH-verified near-dup
+removal (over the survivor set) -> n-gram decontamination ->
+stratified mixture sample [-> sequence packing], writing the surviving
+corpus + a per-stage survivor report.
+
+The stage chain itself lives in riksdagen_sentences_spark.plans.curate
+(curation_stages) and is EXACTLY the frame the oracled driver query
+`curated_training_corpus_v2` checks - the job adds only I/O.
 
 Cluster launch:
 
@@ -20,8 +25,10 @@ Local sandbox:
         --output /tmp/curated
 
 Every stage is the bucketed/broadcast variant (no all-pairs, corpus
-never shuffled by the decontamination or sampling stages); survivor
-counts ride each write as Observation metrics.
+never shuffled by the decontamination or sampling stages).  The report
+is written through Spark's Hadoop FS writer, so --output may be any
+supported URI (s3a://, hdfs://, file paths) - a builtin open() would
+only work locally and would crash the run at the very end.
 """
 
 from __future__ import annotations
@@ -69,9 +76,7 @@ def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from riksdagen_sentences_spark.operators import curation as CU
-    from riksdagen_sentences_spark.operators import neardup as ND
-    from riksdagen_sentences_spark.operators import textstats as TS
+    from riksdagen_sentences_spark.plans.curate import curation_stages
 
     spark = (
         SparkSession.builder.appName("curate-corpus")
@@ -83,63 +88,54 @@ def main() -> None:
         .getOrCreate()
     )
     docs = spark.read.parquet(args.input)
-    report: dict[str, int] = {"input_docs": docs.count()}
-
-    stats = TS.doc_stats(docs).select("doc_id", "quality", "fingerprint")
-    rep = CU.repetition_stats(docs).select("doc_id", "dup_ngram_ratio")
-    d = (
-        docs.join(stats, "doc_id")
-        .join(rep, "doc_id")
-        .filter(
-            (F.col("quality") >= args.min_quality)
-            & (F.col("dup_ngram_ratio") <= args.max_dup_ngram_ratio)
-        )
+    bench = (
+        spark.read.parquet(args.benchmark) if args.benchmark else None
     )
-    report["after_quality_and_repetition"] = d.count()
-
-    keep = d.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
-    d = d.join(keep, ["fingerprint", "doc_id"], "left_semi")
-    report["after_exact_dedup"] = d.count()
-
-    nd = (
-        ND.lsh_verified_pairs(
-            docs, threshold=args.neardup_threshold
-        )
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
+    stages = curation_stages(
+        docs,
+        min_quality=args.min_quality,
+        max_dup_ngram_ratio=args.max_dup_ngram_ratio,
+        neardup_threshold=args.neardup_threshold,
+        benchmark=bench,
+        weights=json.loads(args.weights) if args.weights else None,
     )
-    d = d.join(F.broadcast(nd), "doc_id", "left_anti")
-    report["after_neardup"] = d.count()
+    report: dict[str, int] = {"input_docs": stages["input"].count()}
+    report["after_quality_and_repetition"] = stages["quality_rep"].count()
+    report["after_exact_dedup"] = stages["exact_dedup"].count()
+    report["after_neardup"] = stages["neardup"].count()
+    if "decontam" in stages:
+        report["after_decontamination"] = stages["decontam"].count()
+    if "sample" in stages:
+        report["after_mixture_sample"] = stages["sample"].count()
 
-    if args.benchmark:
-        bench = spark.read.parquet(args.benchmark)
-        d = CU.decontaminate(d, bench)
-        report["after_decontamination"] = d.count()
-
-    if args.weights:
-        d = CU.stratified_sample(d, json.loads(args.weights))
-        report["after_mixture_sample"] = d.count()
-
-    out = d.drop("quality", "fingerprint", "dup_ngram_ratio")
+    final = stages["sample" if "sample" in stages else
+                    ("decontam" if "decontam" in stages else "neardup")]
+    out = final.drop("quality", "fingerprint", "dup_ngram_ratio")
     if args.pack_capacity > 0:
         from riksdagen_sentences_spark.operators import packing as PK
 
         out = PK.pack_into_bins(
-            out.withColumn(
-                "tokens", TS.bpe_token_count_col(F.col("text"))
-            ),
+            out.withColumnRenamed("bpe_tokens", "tokens"),
             args.pack_capacity,
         )
         report["bins"] = out.agg(
-            (F.max("bin") + 1).cast("int").alias("b")
+            (F.coalesce(F.max("bin"), F.lit(-1)) + 1).cast("int").alias("b")
         ).first()["b"]
+    else:
+        out = out.drop("bpe_tokens")
     out.write.mode("overwrite").parquet(os.path.join(args.output, "docs"))
     report["written"] = report[
-        "after_mixture_sample" if args.weights
-        else ("after_decontamination" if args.benchmark else "after_neardup")
+        "after_mixture_sample" if "sample" in stages
+        else ("after_decontamination" if "decontam" in stages
+              else "after_neardup")
     ]
-    with open(os.path.join(args.output, "report.json"), "w") as f:
-        json.dump(report, f)
+    # one-row text write through the Hadoop FS layer (works for any
+    # --output URI, not just local paths)
+    spark.createDataFrame(
+        [(json.dumps(report),)], "value string"
+    ).coalesce(1).write.mode("overwrite").text(
+        os.path.join(args.output, "report.json")
+    )
     print(json.dumps(report))
     spark.stop()
 

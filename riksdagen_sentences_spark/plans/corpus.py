@@ -2934,6 +2934,152 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# The FULL curation chain as one driver artifact (plans/curate.py)
+# ---------------------------------------------------------------------------
+# curated_training_corpus (v1, above) predates the round-4 stages and
+# composes quality -> exact dedup -> LSH -> hash sample.  v2 is the
+# production shape: the EXACT stage chain jobs/curate_corpus.py runs
+# (shared function, plans/curate.curation_stages - near-dup removal
+# over the survivor set, per ADVICE r4) plus sequence packing, with
+# per-stage survivor counts so every gate's bite is driver-visible.
+
+from .curate import curation_stages  # noqa: E402
+
+
+def _docs_with_planted_dups_v2(spark, sf):
+    """Planted-dup corpus CARRYING source (the mixture-sample stage
+    needs it); same +1e6 id scheme as _docs_with_planted_dups."""
+    d = _read(spark, sf, "documents").select("doc_id", "text", "source")
+    planted = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        "text",
+        "source",
+    )
+    return d.unionByName(planted)
+
+
+_DOCS_PLANTED_V2_SQL = (
+    "SELECT doc_id, text, source FROM documents UNION ALL "
+    "SELECT doc_id + 1000000 AS doc_id, text, source FROM documents "
+    "WHERE doc_id % 25 = 0"
+)
+
+# the same quality arithmetic as textstats.quality_score_col (and the
+# v1/source_mixture_stats oracles), as a plain-string expression
+_QUALITY_SQL = (
+    "floor(greatest(0.0, least(1.0, "
+    "least(CAST(len(list_filter(string_split_regex(text, "
+    "'[\\t\\n\\f\\r\\x0B ]+'), w -> w <> '')) AS DOUBLE) / 100.0, 1.0) "
+    "- (CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+    "floor(CAST(len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) "
+    "AS DOUBLE) / length(text) * 10000.0 + 0.5) / 10000.0 END) * 2.0)) "
+    "* 10000.0 + 0.5) / 10000.0"
+)
+
+_V2_DUP_RATIO = 0.3
+_V2_ND_THRESHOLD = 0.5
+
+
+def _curated_corpus_v2(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs_with_planted_dups_v2(spark, sf)
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    st = curation_stages(
+        docs,
+        min_quality=_CURATE_QUALITY,
+        max_dup_ngram_ratio=_V2_DUP_RATIO,
+        neardup_threshold=_V2_ND_THRESHOLD,
+        benchmark=bench,
+        weights=_MIX_WEIGHTS,
+    )
+    final = st["sample"]
+    packed = PK.pack_into_bins(
+        final.select("doc_id", F.col("bpe_tokens").alias("tokens")),
+        _PACK_CAPACITY,
+    )
+    return (
+        st["input"].agg(F.count("*").alias("n_input"))
+        .crossJoin(st["quality_rep"].agg(F.count("*").alias("n_quality")))
+        .crossJoin(
+            st["exact_dedup"].agg(F.count("*").alias("n_after_exact"))
+        )
+        .crossJoin(st["neardup"].agg(F.count("*").alias("n_after_neardup")))
+        .crossJoin(
+            st["decontam"].agg(F.count("*").alias("n_after_decontam"))
+        )
+        .crossJoin(
+            final.agg(
+                F.count("*").alias("n_curated"),
+                F.coalesce(F.sum("bpe_tokens"), F.lit(0))
+                .cast("bigint")
+                .alias("total_bpe_tokens"),
+            )
+        )
+        .crossJoin(
+            packed.agg(
+                (F.coalesce(F.max("bin"), F.lit(-1)) + 1)
+                .cast("bigint")
+                .alias("n_bins")
+            )
+        )
+    )
+
+
+_CURATE_V2_SQL = (
+    f"WITH docs2 AS ({_DOCS_PLANTED_V2_SQL}), "
+    "stats AS (SELECT doc_id, text, source, "
+    f"len(regexp_extract_all(text, '{TS.BPE_RE}')) AS bpe_tokens, "
+    f"sha256({_NORM_SQL}) AS fingerprint, "
+    f"{_QUALITY_SQL} AS quality, "
+    f"{_dup_ratio_sql(_all_grams_sql(CU.REPETITION_K))} AS dup_ngram_ratio "
+    "FROM docs2), "
+    f"q AS (SELECT * FROM stats WHERE quality >= {_CURATE_QUALITY} "
+    f"AND dup_ngram_ratio <= {_V2_DUP_RATIO}), "
+    "keep AS (SELECT fingerprint, MIN(doc_id) AS doc_id FROM q "
+    "GROUP BY fingerprint), "
+    "d1 AS (SELECT q.* FROM q JOIN keep "
+    "ON q.fingerprint = keep.fingerprint AND q.doc_id = keep.doc_id), "
+    "d1docs AS (SELECT doc_id, text FROM d1), "
+    f"{_lsh_verified_sql('d1docs', _V2_ND_THRESHOLD).lstrip().lstrip(chr(10))}, "
+    "nd AS (SELECT DISTINCT doc_b AS doc_id FROM verified), "
+    "d2 AS (SELECT * FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM nd)), "
+    "dsh AS (SELECT doc_id, unnest(list_distinct("
+    f"{_all_grams_sql(CU.DECONTAM_K)})) AS s FROM d2), "
+    "bsh AS (SELECT DISTINCT unnest(list_distinct("
+    f"{_all_grams_sql(CU.DECONTAM_K)})) AS s FROM docs2 "
+    "WHERE doc_id % 97 = 0), "
+    "bad AS (SELECT DISTINCT doc_id FROM dsh WHERE s IN "
+    "(SELECT s FROM bsh)), "
+    "d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN "
+    "(SELECT doc_id FROM bad)), "
+    "d4 AS (SELECT * FROM d3 WHERE (CASE source WHEN 'src0' THEN 1000000 "
+    "WHEN 'src1' THEN 500000 WHEN 'src2' THEN 250000 END) IS NOT NULL "
+    "AND (CAST(concat('0x', substr(md5('samp:' || "
+    "CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % "
+    f"{CU.SAMPLE_MOD}) < (CASE source WHEN 'src0' THEN 1000000 "
+    "WHEN 'src1' THEN 500000 WHEN 'src2' THEN 250000 END)), "
+    "p AS (SELECT doc_id, bpe_tokens, "
+    "SUM(bpe_tokens) OVER (ORDER BY doc_id) AS prefix FROM d4) "
+    "SELECT (SELECT COUNT(*) FROM docs2) AS n_input, "
+    "(SELECT COUNT(*) FROM q) AS n_quality, "
+    "(SELECT COUNT(*) FROM d1) AS n_after_exact, "
+    "(SELECT COUNT(*) FROM d2) AS n_after_neardup, "
+    "(SELECT COUNT(*) FROM d3) AS n_after_decontam, "
+    "(SELECT COUNT(*) FROM d4) AS n_curated, "
+    "CAST((SELECT COALESCE(SUM(bpe_tokens), 0) FROM d4) AS BIGINT) "
+    "AS total_bpe_tokens, "
+    "CAST((SELECT COALESCE(MAX(CAST(floor(CAST(prefix - bpe_tokens "
+    f"AS DOUBLE) / {_PACK_CAPACITY}) AS BIGINT)), -1) + 1 FROM p) "
+    "AS BIGINT) AS n_bins"
+)
+
+_register(
+    "curated_training_corpus_v2",
+    _curated_corpus_v2,
+    _CURATE_V2_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 entries of

@@ -141,3 +141,39 @@ def test_prefix_sum_materializes_range_shuffle_once(spark):
     for i in range(200):
         run += i % 7 + 1
         assert got[i] == run
+
+
+def test_curation_chain_neardup_runs_over_survivors(spark):
+    """A surviving document must NOT be dropped as the near-dup of a
+    keeper that an earlier gate already removed - that would eliminate
+    every copy of the content.  doc 1 (the lower-id keeper) fails the
+    repetition gate; doc 2 is its near-dup and must survive the chain."""
+    from riksdagen_sentences_spark.plans.curate import curation_stages
+
+    base = " ".join(f"alpha{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, base + " spam" * 30, "src0"),   # near-dup of 2, repetitive
+            (2, base, "src0"),                   # clean copy
+            (3, " ".join(f"beta{i}" for i in range(40)), "src0"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    st = curation_stages(docs, min_quality=0.3, max_dup_ngram_ratio=0.3,
+                         neardup_threshold=0.5)
+    gate = {r["doc_id"] for r in st["quality_rep"].collect()}
+    assert gate == {2, 3}                       # 1 killed by repetition
+    survivors = {r["doc_id"] for r in st["neardup"].collect()}
+    assert 2 in survivors                        # keeper 1 is gone, so
+    assert survivors == {2, 3}                   # 2 must NOT be dropped
+
+    # control: with doc 1 passing the gate, near-dup removal DOES drop
+    # the higher id of the verified pair
+    docs2 = spark.createDataFrame(
+        [(1, base, "src0"), (2, base + " omega extra", "src0"),
+         (3, " ".join(f"beta{i}" for i in range(40)), "src0")],
+        "doc_id bigint, text string, source string",
+    )
+    st2 = curation_stages(docs2, min_quality=0.3, max_dup_ngram_ratio=0.3,
+                          neardup_threshold=0.5)
+    assert {r["doc_id"] for r in st2["neardup"].collect()} == {1, 3}
