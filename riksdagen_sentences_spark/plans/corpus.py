@@ -2256,6 +2256,55 @@ FROM f GROUP BY kind
 )
 
 
+# Real container-header decode (round-5 close of the multimodal stub):
+# synth_media_real plants width/height inside structurally VALID
+# PNG/JPEG byte streams; extract_features(decoder="real") parses them
+# back with the pure-Python IHDR/SOFn walker inside the Arrow kernel.
+# The oracle is the planted arithmetic itself - any parsing error
+# (offset, endianness, marker walk, SOF0-vs-SOF2) breaks the hash.
+
+
+def _media_feature_stats_real(spark, sf):
+    from ..operators import multimodal as MM
+
+    del sf  # synthesized fixture (no testdata analog)
+    feats = MM.extract_features(
+        MM.synth_media_real(spark, n=64, seed=42), decoder="real"
+    )
+    return feats.groupBy("format").agg(
+        F.count("*").alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("decoded_width").alias("total_width"),
+        F.sum("decoded_height").alias("total_height"),
+    )
+
+
+def _media_real_oracle() -> str:
+    from ..operators import multimodal as MM
+
+    return f"""
+WITH m AS (
+  SELECT range AS id,
+    CASE WHEN range % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+    range % 300 + 16 AS w, range % 200 + 16 AS h
+  FROM range(64)
+)
+SELECT format, COUNT(*) AS n,
+  CAST(SUM(CASE WHEN format = 'png' THEN {MM.PNG_TOTAL_BYTES}
+           ELSE {MM.JPEG_TOTAL_BYTES} END) AS BIGINT) AS total_bytes,
+  CAST(SUM(w) AS BIGINT) AS total_width,
+  CAST(SUM(h) AS BIGINT) AS total_height
+FROM m GROUP BY format
+"""
+
+
+_register(
+    "media_feature_stats_real",
+    _media_feature_stats_real,
+    _media_real_oracle(),
+)
+
+
 # IVF ANN (MLlib KMeans coarse quantizer), PARTIAL probe, exact oracle.
 # Rounds 1-4 registered this over the sf embeddings where partial-probe
 # top-k on near-random vectors is inherently approximate (no oracle

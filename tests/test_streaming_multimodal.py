@@ -69,10 +69,51 @@ def test_multimodal_feature_extraction(spark):
     assert sorted(map(str, feats)) == sorted(map(str, again))
 
 
-def test_multimodal_real_decoder_is_gated(spark):
-    media = MM.synth_media(spark, n=4)
-    with pytest.raises(Exception, match="NotImplementedError|real media"):
-        MM.extract_features(media, decoder="real").collect()
+def test_parse_image_dims_edge_cases():
+    """Pure-Python header parser: PNG IHDR, JPEG SOF0/SOF2 behind an
+    APP0 walk, and graceful 'unknown'/NULL on garbage - a malformed
+    payload must never raise (it would kill a whole task at scale)."""
+    body = b"\xaa" * 32
+    assert MM.parse_image_dims(MM._png_bytes(640, 480, body)) == (
+        "png", 640, 480,
+    )
+    assert MM.parse_image_dims(
+        MM._jpeg_bytes(1920, 1080, body, 0xC0)
+    ) == ("jpeg", 1920, 1080)
+    assert MM.parse_image_dims(
+        MM._jpeg_bytes(300, 200, body, 0xC2)  # progressive SOF2
+    ) == ("jpeg", 300, 200)
+    # JPEG with no SOF before EOI -> dims unknown, format still jpeg
+    assert MM.parse_image_dims(b"\xff\xd8\xff\xd9") == ("jpeg", None, None)
+    # truncated PNG magic / arbitrary bytes / empty
+    assert MM.parse_image_dims(b"\x89PNG")[0] == "unknown"
+    assert MM.parse_image_dims(b"not an image at all") == (
+        "unknown", None, None,
+    )
+    assert MM.parse_image_dims(b"") == ("unknown", None, None)
+
+
+def test_multimodal_real_decoder_roundtrips_planted_dims(spark):
+    media = MM.synth_media_real(spark, n=40, seed=7)
+    feats = MM.extract_features(media, decoder="real")
+    rows = {r["media_id"]: r for r in feats.collect()}
+    src = {r["media_id"]: r for r in media.collect()}
+    assert len(rows) == 40
+    for mid, r in rows.items():
+        assert r["decoded_width"] == src[mid]["width"]
+        assert r["decoded_height"] == src[mid]["height"]
+        assert r["format"] in ("png", "jpeg")
+        assert len(r["features"]) == MM.FEATURE_DIM
+    # non-image payloads (the fake media table) degrade to unknown/NULL
+    degraded = MM.extract_features(
+        MM.synth_media(spark, n=6), decoder="real"
+    ).collect()
+    assert all(
+        r["format"] == "unknown" and r["decoded_width"] is None
+        for r in degraded
+    )
+    with pytest.raises(ValueError, match="unknown decoder"):
+        MM.extract_features(media, decoder="pil")
 
 
 def test_frame_sample_plan(spark):
