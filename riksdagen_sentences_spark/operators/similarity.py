@@ -177,19 +177,43 @@ _IVF_MEMO: dict[tuple, IvfIndex] = {}
 
 
 def _corpus_fingerprint(df: DataFrame) -> str:
+    """Plan hash + per-file (mtime, size).  Local paths stat via the
+    OS; any other scheme (hdfs://, s3a://, ...) stats through the
+    Hadoop FileSystem API - without that, an in-place overwrite on
+    cluster storage would silently reuse a stale index (the exact bug
+    the data-level component exists to prevent)."""
     import hashlib
     import os
 
     h = hashlib.sha256(str(df.semanticHash()).encode())
+    spark = df.sparkSession
+    jconf = jpath = None
     for f in sorted(df.inputFiles()):
         h.update(f.encode())
-        path = f[7:] if f.startswith("file:///") else f
-        path = "/" + path.lstrip("/") if not path.startswith("/") else path
-        try:
-            st = os.stat(path)
-            h.update(f":{st.st_mtime_ns}:{st.st_size}".encode())
-        except OSError:
-            pass  # non-local file system - path alone still contributes
+        if f.startswith("file:///") or f.startswith("/"):
+            path = f[7:] if f.startswith("file:///") else f
+            path = (
+                "/" + path.lstrip("/") if not path.startswith("/") else path
+            )
+            try:
+                st = os.stat(path)
+                h.update(f":{st.st_mtime_ns}:{st.st_size}".encode())
+            except OSError:
+                pass  # vanished between listing and stat
+        else:
+            try:
+                if jpath is None:
+                    jconf = spark._jsc.hadoopConfiguration()
+                    jpath = spark._jvm.org.apache.hadoop.fs.Path
+                status = jpath(f).getFileSystem(jconf).getFileStatus(
+                    jpath(f)
+                )
+                h.update(
+                    f":{status.getModificationTime()}"
+                    f":{status.getLen()}".encode()
+                )
+            except Exception:
+                pass  # unreachable FS - path alone still contributes
     return h.hexdigest()[:24]
 
 

@@ -151,17 +151,33 @@ def compact_canonical(spark: SparkSession, out_dir: str) -> dict[str, int]:
     compaction.  Returns per-table row counts after compaction.
 
     Each table is written ONCE - dedup into a sibling staging dir, then
-    an atomic directory swap (rename) replaces the live table.  The
-    previous tmp->read-back->rewrite shape doubled compaction I/O, which
-    at 100 TB is the difference between one pass over the lake and two;
+    a directory swap (rename) replaces the live table.  The previous
+    tmp->read-back->rewrite shape doubled compaction I/O, which at
+    100 TB is the difference between one pass over the lake and two;
     on Iceberg the swap is the snapshot commit itself.  Row counts ride
-    on the single write via observe(), not a read-back count."""
-    import os
-    import shutil
+    on the single write via observe(), not a read-back count.
+
+    The swap runs through the Hadoop FileSystem API, so ``out_dir`` may
+    be any supported URI (file paths, hdfs://, s3a:// ...), not just
+    local disk.  The two renames are not atomic AS A UNIT; a crash
+    between them leaves the live path missing with ``__old_<name>``
+    holding the data - the next call detects exactly that state and
+    restores ``__old_`` before compacting, and a failed second rename
+    rolls the first one back in-process, so no crash point loses the
+    table."""
+    jconf = spark._jsc.hadoopConfiguration()
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
 
     counts: dict[str, int] = {}
     for name, keys in _CANONICAL_KEYS.items():
         path = f"{out_dir}/{name}"
+        staging = f"{out_dir}/__compact_{name}"
+        old = f"{out_dir}/__old_{name}"
+        fs = jpath(path).getFileSystem(jconf)
+        # recover a crash between the two renames of a previous run
+        if not fs.exists(jpath(path)) and fs.exists(jpath(old)):
+            if not fs.rename(jpath(old), jpath(path)):
+                raise IOError(f"could not restore {old} -> {path}")
         df = spark.read.parquet(path)
         if "bucket" in df.columns:
             df = df.drop("bucket")
@@ -169,15 +185,16 @@ def compact_canonical(spark: SparkSession, out_dir: str) -> dict[str, int]:
         deduped = df.dropDuplicates(keys).observe(
             obs, F.count(F.lit(1)).alias("rows")
         )
-        staging = f"{out_dir}/__compact_{name}"
-        shutil.rmtree(staging, ignore_errors=True)
+        fs.delete(jpath(staging), True)
         deduped.write.mode("overwrite").parquet(staging)
         counts[name] = obs.get["rows"]
-        old = f"{out_dir}/__old_{name}"
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(path, old)
-        os.rename(staging, path)
-        shutil.rmtree(old, ignore_errors=True)
+        fs.delete(jpath(old), True)
+        if not fs.rename(jpath(path), jpath(old)):
+            raise IOError(f"rename {path} -> {old} failed")
+        if not fs.rename(jpath(staging), jpath(path)):
+            fs.rename(jpath(old), jpath(path))  # roll back, table live
+            raise IOError(f"rename {staging} -> {path} failed")
+        fs.delete(jpath(old), True)
     return counts
 
 

@@ -123,3 +123,33 @@ def test_compact_canonical_globally_dedups(spark, docs_df, tmp_path):
         if d.startswith("__compact_") or d.startswith("__old_")
     ]
     assert leftovers == []
+
+
+def test_compact_canonical_recovers_from_crash_between_renames(
+    spark, docs_df, tmp_path
+):
+    """A crash between `live -> __old_` and `__compact_ -> live` leaves
+    only __old_<name>; the next compaction must restore it and proceed
+    (the swap is two renames, not one atomic op)."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "compact2")
+    M.run_incremental(spark, docs_df, out, buckets=4)
+    expected = (
+        spark.read.parquet(f"{out}/rawtokens")
+        .drop("bucket").dropDuplicates(["rawtoken_id"]).count()
+    )
+    # simulate the crash point: live dir gone, __old_ holds the data
+    os.rename(f"{out}/rawtokens", f"{out}/__old_rawtokens")
+    # plus a stale staging leftover that must not confuse recovery
+    os.makedirs(f"{out}/__compact_rawtokens", exist_ok=True)
+    counts = M.compact_canonical(spark, out)
+    assert counts["rawtokens"] == expected
+    assert spark.read.parquet(f"{out}/rawtokens").count() == expected
+    leftovers = [
+        d for d in os.listdir(out)
+        if d.startswith("__compact_") or d.startswith("__old_")
+    ]
+    assert leftovers == []
+    shutil.rmtree(out, ignore_errors=True)
