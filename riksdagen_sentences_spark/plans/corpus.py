@@ -3134,12 +3134,37 @@ _register(
 # The driver's correctness gate records only the FIRST 50 entries of
 # ``queries()`` in CORRECTNESS_r{N}.json (registration order).  Rounds
 # 1-3 therefore never produced a driver artifact for the later
-# registrations, even though every one is judge/parity verified.  The
-# names below are the queries already proven green in the r01-r03 driver
-# artifacts; everything NOT in this set (the 32 previously-unsampled
-# queries plus any query added after round 3) is rotated to the front so
-# CORRECTNESS_r04 captures the other half of the corpus.  Query
-# semantics are untouched - this only permutes dict insertion order.
+# registrations, even though every one is judge/parity verified.
+# Names already green in SOME driver artifact (r01-r03 below, plus the
+# round-4 additions) yield the front of the window to everything not
+# yet driver-sampled - each round's NEW queries float in automatically.
+# Query semantics are untouched - this only permutes dict insertion
+# order.  NOTE: embedding_ivf_top10 is deliberately NOT in the ledger -
+# its round-4 artifact was the rows-only `no_oracle` row, and round 5
+# re-registered it with an exact oracle, so it must be re-sampled.
+_DRIVER_PROVEN_R4 = frozenset({
+    "count_entity_mentions_total", "count_occursin_edges",
+    "count_occursin_edges_en", "count_rawtokens_en",
+    "count_rawtokens_high_score", "count_sentences_with_entity",
+    "dataset_license_dim", "decontaminated_corpus_stats",
+    "doc_language_distribution", "doc_repetition_stats",
+    "docs_above_quality_threshold", "entities_for_document_0",
+    "event_value_percentiles", "events_ranked", "ivf_full_probe_top10",
+    "ivf_recall_at_10", "lineitem_rollup", "lookup_compound_cc0_only",
+    "lookup_compound_token_served", "lookup_simple_token_served",
+    "media_feature_stats", "mention_component_sizes",
+    "mention_component_sizes_contraction",
+    "mention_edges_gazetteer_join_100k", "node_degrees_top20",
+    "occursin_counts_by_category", "purchase_last_view_asof",
+    "rawtoken_id_point_lookup", "rawtokens_and_sentences",
+    "rawtokens_rows_en", "sentence_counts_by_license",
+    "sentence_neardup_pairs", "sentences_matching_string_ci",
+    "sentences_rows_en", "source_mixture_stats",
+    "stopword_ratio_histogram", "stratified_sample_by_source",
+    "token_frequency_top20", "token_packing_bins", "user_sessions",
+    "windowed_event_counts_late_dropped",
+})
+
 _DRIVER_PROVEN_R1_R3 = frozenset({
     "avg_entities_per_sentence", "corpus_size_stats",
     "count_language_id_mismatches", "count_sentences_en",
@@ -3168,11 +3193,14 @@ _DRIVER_PROVEN_R1_R3 = frozenset({
 })
 
 
+_DRIVER_PROVEN = _DRIVER_PROVEN_R1_R3 | _DRIVER_PROVEN_R4
+
+
 def _rotate_driver_window() -> None:
     fresh = {n: f for n, f in QUERIES.items()
-             if n not in _DRIVER_PROVEN_R1_R3}
+             if n not in _DRIVER_PROVEN}
     proven = {n: f for n, f in QUERIES.items()
-              if n in _DRIVER_PROVEN_R1_R3}
+              if n in _DRIVER_PROVEN}
     QUERIES.clear()
     QUERIES.update(fresh)
     QUERIES.update(proven)

@@ -154,3 +154,113 @@ def test_check_dependence_null_sensitive(spark):
     )
     with pytest.raises(ValueError, match="distinct value"):
         salted_dedup(df, ["key"], check_dependence=True)
+
+
+def test_decontamination_balanced_under_hot_shingle(spark):
+    """Planted skew for the curation suite: one source holds 50% of all
+    docs and ONE benchmark shingle recurs at high multiplicity across
+    them.  The corpus-side shingle explode feeds a BROADCAST semi-join,
+    so there must be NO exchange keyed on the (skewed) shingle - the
+    corpus keeps its input partitioning and task row-counts stay
+    balanced regardless of shingle multiplicity."""
+    from riksdagen_sentences_spark.operators import curation as CU
+
+    hot_phrase = " ".join(f"hot{i}" for i in range(CU.DECONTAM_K))
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("hotsrc"))
+        .otherwise(F.concat(F.lit("src"), F.col("id") % 7))
+        .alias("source"),
+        F.when(
+            F.col("id") % 2 == 0,
+            # hot source: every doc contains the SAME benchmark shingle
+            F.concat_ws(
+                " ",
+                F.lit(hot_phrase),
+                F.concat(F.lit("tail"), F.col("id")),
+                F.lit(hot_phrase),
+            ),
+        )
+        .otherwise(
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"w{j}x"), F.col("id"))
+                    for j in range(CU.DECONTAM_K + 2)
+                ],
+            )
+        )
+        .alias("text"),
+    ).repartition(16)
+    bench = spark.createDataFrame([(0, hot_phrase)], "doc_id long, text string")
+    bad = CU.contaminated_doc_ids(docs, bench)
+    # all 1000 hot-source docs flagged, none of the cold ones
+    assert bad.count() == 1000
+    plan = bad._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the CORPUS side must never shuffle by the skewed shingle: a
+    # corpus-side repartition would show up as a SortMergeJoin or a
+    # second shingle exchange.  Exactly ONE shingle exchange is
+    # expected - the MB-scale benchmark dedup feeding BroadcastExchange.
+    assert "SortMergeJoin" not in plan
+    shingle_exchanges = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line and "shingle" in line
+    ]
+    assert len(shingle_exchanges) == 1
+    assert "BroadcastExchange" in plan
+    # direct balance evidence: the exploded corpus shingles keep the
+    # input partitioning, so the hot shingle cannot concentrate a task
+    doc_sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(CU._grams_col(F.col("text"), CU.DECONTAM_K))
+        ).alias("shingle"),
+    )
+    sizes = [
+        r["n"]
+        for r in doc_sh.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    assert max(sizes) <= 2.0 * (sum(sizes) / len(sizes))
+    # survivor side: the anti-join stays broadcast too
+    surv_plan = (
+        CU.decontaminate(docs, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert surv_plan.count("BroadcastHashJoin") >= 2  # semi + anti
+
+
+def test_packing_range_shuffle_balanced_under_token_skew(spark):
+    """Sequence packing range-partitions on the UNIQUE order key, so a
+    hot source with 1000x token mass cannot concentrate rows: partition
+    row-counts stay balanced and the prefix sums remain exact."""
+    from riksdagen_sentences_spark.operators import packing as PK
+
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit(10_000))
+        .otherwise(F.lit(10))
+        .cast("bigint")
+        .alias("tokens"),
+    ).repartition(16)
+    ps = PK.prefix_sum(docs, "tokens", "doc_id", n_partitions=8)
+    # correctness under skewed values
+    got = {r["doc_id"]: r["prefix"] for r in ps.collect()}
+    run = 0
+    for i in range(4000):
+        run += 10_000 if i % 2 == 0 else 10
+        assert got[i] == run
+    # row balance of the actual range partitioning (same op the
+    # operator runs): max/mean task rows bounded
+    sizes = [
+        r["n"]
+        for r in docs.repartitionByRange(8, F.col("doc_id"))
+        .groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    assert len(sizes) == 8
+    assert max(sizes) <= 2.0 * (sum(sizes) / len(sizes))
