@@ -33,3 +33,23 @@ def test_reference_sql_runs_verbatim(spark):
     cats = spark.sql(V.SQL_LINK_COUNTS_BY_CATEGORY).collect()
     assert len(cats) > 0
     assert all(r["qid"].startswith("Q") for r in cats)
+
+
+def test_evidence_docs_counts_match_registry():
+    """COVERAGE.md / STATUS.md advertise the query-corpus size; derive
+    the number from corpus.QUERIES so the docs can't drift (VERDICT r4
+    item #7 - hand-edited counts went stale twice)."""
+    import os
+
+    from riksdagen_sentences_spark.plans import corpus
+
+    n = len(corpus.QUERIES)
+    n_oracled = sum(1 for q in corpus.QUERIES if corpus.ORACLES.get(q))
+    marker = f"{n} registered / {n_oracled} oracled"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for doc in ("COVERAGE.md", "STATUS.md"):
+        text = open(os.path.join(repo, doc)).read()
+        assert marker in text, (
+            f"{doc} is out of sync with corpus.QUERIES: expected the "
+            f"literal marker {marker!r}"
+        )
