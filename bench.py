@@ -174,6 +174,37 @@ def main() -> None:
 
     timed("simhash64_neardup_pairs", q_simhash64)
 
+    # q5c2: composed curation chain (the production shape shared with
+    # jobs/curate_corpus.py): quality+repetition gate -> exact dedup ->
+    # survivor-set LSH near-dup removal -> 8-gram decontamination ->
+    # stratified mixture sample -> token-budget packing, one action
+    def q_curate():
+        from riksdagen_sentences_spark.operators import packing as PK
+        from riksdagen_sentences_spark.plans.curate import curation_stages
+
+        cdocs = docs_raw.select("doc_id", "text", "source")
+        bench_fix = cdocs.filter(F.col("doc_id") % 97 == 0).select(
+            "doc_id", "text"
+        )
+        st = curation_stages(
+            cdocs,
+            min_quality=0.3,
+            max_dup_ngram_ratio=0.3,
+            neardup_threshold=0.5,
+            benchmark=bench_fix,
+            weights={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        )
+        packed = PK.pack_into_bins(
+            st["sample"].select(
+                "doc_id", F.col("bpe_tokens").alias("tokens")
+            ),
+            4096,
+        )
+        extras["curated_docs"] = packed.count()
+        release_intermediates()
+
+    timed("curate_chain_pack", q_curate)
+
     # q5d: serving-path split (mirror of the IVF build/query split):
     # materialize the at-rest lookup tables ONCE, then measure the
     # /lookup latency - the judge-relevant evidence is that serving cost

@@ -39,13 +39,21 @@ def curation_stages(
     neardup_threshold: float = 0.5,
     benchmark: DataFrame | None = None,
     weights: dict[str, float] | None = None,
+    cache: bool = True,
 ) -> dict[str, DataFrame]:
     """Ordered survivor frames, one per stage: ``input`` ->
     ``quality_rep`` -> ``exact_dedup`` -> ``neardup`` [->
     ``decontam``] [-> ``sample``].  Every frame after ``input`` carries
     the doc columns plus (quality, fingerprint, bpe_tokens,
     dup_ngram_ratio), so downstream stages (LSH shingles, packing token
-    budgets) read the already-joined row instead of re-deriving."""
+    budgets) read the already-joined row instead of re-deriving.
+
+    ``cache=True`` persists the two multiply-consumed cut-points (the
+    exact-dedup survivors feed the LSH pair mining AND the anti-join;
+    the near-dup survivors feed decontamination AND sampling) - the
+    same shape production would materialize as tables between stages
+    (jobs/curate_corpus.py writes exactly these).  Blocks live until
+    ``spark.catalog.clearCache()`` or session end."""
     stats = TS.doc_stats(docs).select(
         "doc_id", "quality", "fingerprint", "bpe_tokens"
     )
@@ -61,6 +69,8 @@ def curation_stages(
 
     keep = d.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
     d = d.join(keep, ["fingerprint", "doc_id"], "left_semi")
+    if cache:
+        d = d.persist()
     stages["exact_dedup"] = d
 
     # near-dup pairs over the survivor set: doc_a (the kept lower id)
@@ -73,6 +83,8 @@ def curation_stages(
         .distinct()
     )
     d = d.join(F.broadcast(nd), "doc_id", "left_anti")
+    if cache:
+        d = d.persist()
     stages["neardup"] = d
 
     if benchmark is not None:
