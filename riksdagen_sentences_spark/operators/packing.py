@@ -99,6 +99,49 @@ def prefix_sum(
     ).select(order_col, value_col, "prefix")
 
 
+def sequence_windows(
+    docs_with_tokens: DataFrame,
+    max_len: int,
+    stride: int | None = None,
+    token_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per fixed-length training window over each document's
+    token sequence: (id_col, win_id, start_tok, win_len) - the
+    long-document splitting step of sequence preparation (a 200k-token
+    document becomes ~49 overlapping 4096-token windows, not one
+    truncated row).
+
+    ``stride`` defaults to ``max_len`` (non-overlapping); a smaller
+    stride overlaps windows (the usual LM training trick so no span
+    loses its left context).  Window starts are 0, stride, 2*stride, …
+    < tokens; the final window truncates to the remaining tokens.
+    Pure per-row column algebra (sequence + explode) - zero shuffle,
+    embarrassingly parallel at any corpus size.
+    """
+    if stride is None:
+        stride = max_len
+    if stride <= 0 or max_len <= 0:
+        raise ValueError("max_len and stride must be positive")
+    tokens = F.col(token_col)
+    starts = F.when(
+        tokens > 0,
+        F.sequence(F.lit(0), (tokens - 1).cast("int"), F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    return docs_with_tokens.select(
+        id_col,
+        token_col,
+        F.explode(starts).alias("start_tok"),
+    ).select(
+        id_col,
+        (F.col("start_tok") / stride).cast("bigint").alias("win_id"),
+        F.col("start_tok").cast("bigint"),
+        F.least(F.lit(max_len), tokens - F.col("start_tok"))
+        .cast("bigint")
+        .alias("win_len"),
+    )
+
+
 def pack_into_bins(
     docs_with_tokens: DataFrame,
     capacity: int,

@@ -265,6 +265,75 @@ def ivf_topk(
     )
 
 
+def quantize_int8(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scalar int8 quantization of an embedding column: per-vector
+    scale = max(|x|)/127, q_i = floor(x_i/scale + 0.5) (round-half-up,
+    the same closed form both engines evaluate identically - Spark's
+    round() HALF_UPs away from zero, DuckDB's differs on negatives, so
+    neither builtin is used).  4x storage/IO reduction for an ANN
+    corpus at 100 TB - the quantized table is the materialized asset;
+    all-zero vectors keep scale 0 and quantize to zeros.
+
+    Returns (id_col, qvec array<int>, scale double); dequantize as
+    q_i * scale."""
+    v = _to_double(F.col(vec_col))
+    scale = (
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+        )
+        / 127.0
+    )
+    return embeddings.select(
+        F.col(id_col),
+        F.transform(
+            v,
+            lambda x: F.when(scale == 0.0, F.lit(0))
+            .otherwise(F.floor(x / scale + 0.5))
+            .cast("int"),
+        ).alias("qvec"),
+        scale.alias("scale"),
+    )
+
+
+def int8_cosine_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine over the DEQUANTIZED int8 corpus - the
+    accuracy/latency point a production ANN serves from (the float32
+    originals stay cold).  Cosine is scale-invariant per vector, so
+    the per-vector scale cancels and ranking quality depends only on
+    the 8-bit rounding error (recall vs float pinned in tests)."""
+    q = quantize_int8(embeddings, vec_col, id_col)
+    deq = q.select(
+        id_col,
+        F.transform(
+            F.col("qvec"), lambda qi: qi.cast("double") * F.col("scale")
+        ).alias("__v"),
+    )
+    qv = deq.filter(F.col(id_col) == query_vec_id).select(
+        F.col("__v").alias("__q")
+    )
+    scored = (
+        deq.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col(id_col),
+            cosine_col(F.col("__v"), F.col("__q")).alias("cosine"),
+        )
+    )
+    return scored.orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    ).limit(k)
+
+
 def lsh_plane_sign_cols(
     vec: Column, dims: int, n_planes: int = 8
 ) -> Column:

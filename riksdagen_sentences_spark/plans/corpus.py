@@ -2983,6 +2983,68 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Int8 scalar quantization for ANN storage (operators/similarity.py)
+# ---------------------------------------------------------------------------
+# The production memory/IO lever: a 100 TB float32 embedding corpus
+# serves ANN from its int8 twin at 1/4 the bytes.  Round-half-up is the
+# shared closed form (floor(x/s + 0.5)) because the engines' round()
+# builtins disagree on negatives; every arithmetic step is reproduced
+# verbatim in the oracle, so the hash pins the quantizer itself.
+
+_register(
+    "embedding_int8_cosine_top10",
+    lambda spark, sf: SIM.int8_cosine_topk(
+        _read(spark, sf, "embeddings"), query_vec_id=0, k=10
+    ),
+    """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+s AS (SELECT vec_id, v,
+        list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc FROM e),
+d AS (SELECT vec_id,
+        list_transform(v, x -> (CASE WHEN sc = 0 THEN 0.0
+          ELSE floor(x / sc + 0.5) END) * sc) AS dv FROM s),
+q AS (SELECT dv AS qv FROM d WHERE vec_id = 0)
+SELECT vec_id,
+  floor(list_dot_product(dv, qv) /
+    (sqrt(list_dot_product(dv, dv)) * sqrt(list_dot_product(qv, qv)))
+    * 10000.0 + 0.5) / 10000.0 AS cosine
+FROM d, q WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-length training-sequence windows (operators/packing.py)
+# ---------------------------------------------------------------------------
+# Long-document splitting: every document yields ceil(tokens/stride)
+# overlapping windows of <= max_len tokens - pure sequence+explode,
+# zero shuffle.  64/48 exercises truncated tails AND overlap.
+
+_WIN_LEN, _WIN_STRIDE = 64, 48
+
+_register(
+    "doc_sequence_windows",
+    lambda spark, sf: PK.sequence_windows(
+        _read(spark, sf, "documents").select(
+            "doc_id", TS.bpe_token_count_col(F.col("text")).alias("tokens")
+        ),
+        max_len=_WIN_LEN,
+        stride=_WIN_STRIDE,
+    ),
+    "WITH t AS (SELECT doc_id, "
+    f"len(regexp_extract_all(text, '{TS.BPE_RE}')) AS tokens "
+    "FROM documents), "
+    "w AS (SELECT doc_id, tokens, unnest(range(0, tokens, "
+    f"{_WIN_STRIDE})) AS s FROM t WHERE tokens > 0) "
+    f"SELECT doc_id, CAST(s // {_WIN_STRIDE} AS BIGINT) AS win_id, "
+    "CAST(s AS BIGINT) AS start_tok, "
+    f"CAST(least({_WIN_LEN}, tokens - s) AS BIGINT) AS win_len FROM w",
+)
+
+
+# ---------------------------------------------------------------------------
 # The FULL curation chain as one driver artifact (plans/curate.py)
 # ---------------------------------------------------------------------------
 # curated_training_corpus (v1, above) predates the round-4 stages and

@@ -177,3 +177,38 @@ def test_curation_chain_neardup_runs_over_survivors(spark):
     st2 = curation_stages(docs2, min_quality=0.3, max_dup_ngram_ratio=0.3,
                           neardup_threshold=0.5)
     assert {r["doc_id"] for r in st2["neardup"].collect()} == {1, 3}
+
+
+def test_sequence_windows_cover_every_token_exactly_once_nonoverlap(spark):
+    import pytest
+
+    from riksdagen_sentences_spark.operators import packing as PK
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 64), (3, 1), (4, 0), (5, 129)],
+        "doc_id bigint, tokens bigint",
+    )
+    rows = PK.sequence_windows(docs, max_len=64).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 4 not in by_doc                       # zero tokens, no rows
+    assert [(r["start_tok"], r["win_len"]) for r in
+            sorted(by_doc[1], key=lambda r: r["win_id"])] == [
+        (0, 64), (64, 36)]                       # truncated tail
+    assert [(r["start_tok"], r["win_len"]) for r in by_doc[2]] == [(0, 64)]
+    assert [(r["start_tok"], r["win_len"]) for r in by_doc[3]] == [(0, 1)]
+    assert len(by_doc[5]) == 3                   # 129 -> 64+64+1
+    # non-overlapping stride: window lengths sum to the token count
+    assert sum(r["win_len"] for r in by_doc[5]) == 129
+
+    # overlapping stride: every token index is covered at least once
+    over = PK.sequence_windows(docs, max_len=64, stride=48).collect()
+    cov = set()
+    for r in over:
+        if r["doc_id"] == 1:
+            cov |= set(range(r["start_tok"], r["start_tok"] + r["win_len"]))
+    assert cov == set(range(100))
+
+    with pytest.raises(ValueError, match="positive"):
+        PK.sequence_windows(docs, max_len=0)

@@ -153,3 +153,47 @@ def test_planted_cluster_recall_is_deterministically_one(spark):
             assert all(v % 8 == q % 8 for v in exact)
     finally:
         emb.unpersist()
+
+
+def test_int8_quantization_bounds_and_zero_vector(spark):
+    from riksdagen_sentences_spark.operators import similarity as SIM
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, -2.0, 0.5, 2.0]),
+            (1, [0.0, 0.0, 0.0, 0.0]),   # all-zero: scale 0, qvec zeros
+            (2, [-0.003, 0.001, 0.002, -0.001]),  # tiny magnitudes
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    q = {r["vec_id"]: r for r in SIM.quantize_int8(emb).collect()}
+    assert all(
+        -127 <= x <= 127 for r in q.values() for x in r["qvec"]
+    )
+    assert q[1]["scale"] == 0.0 and q[1]["qvec"] == [0, 0, 0, 0]
+    # max-magnitude component hits exactly +/-127
+    assert 127 in [abs(x) for x in q[0]["qvec"]]
+    # dequantization error bounded by scale/2 per component
+    for r in emb.collect():
+        s = q[r["vec_id"]]["scale"]
+        for orig, qi in zip(r["embedding"], q[r["vec_id"]]["qvec"]):
+            assert abs(orig - qi * s) <= s / 2 + 1e-12
+
+
+def test_int8_cosine_preserves_cluster_structure(spark):
+    """8-bit rounding noise is far below the planted cluster
+    separation: every int8 top-10 neighbor of query 0 is a member of
+    its planted cluster (vec_id % 8 == 0) with cosine ~ 1.0.  (Exact
+    set equality vs float is NOT the right assertion - at 4-dp rounding
+    all ~49 cluster mates tie and the tiebreak order is arbitrary.)"""
+    from riksdagen_sentences_spark.operators import similarity as SIM
+    from riksdagen_sentences_spark.sources.synth import (
+        clustered_embeddings,
+    )
+
+    emb = clustered_embeddings(spark)
+    quant = SIM.int8_cosine_topk(emb, 0, k=10).collect()
+    assert len(quant) == 10
+    for r in quant:
+        assert r["vec_id"] % 8 == 0       # planted cluster of query 0
+        assert r["cosine"] >= 0.999
