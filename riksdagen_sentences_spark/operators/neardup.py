@@ -31,6 +31,8 @@ Everything is pure column expressions - no UDFs, no driver loops.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -38,6 +40,22 @@ from .cache import track
 from .textstats import normalized_text_col
 
 SHINGLE_K = 3
+
+
+def _spread_input(df: DataFrame) -> DataFrame:
+    """Round-robin the input across the cluster when it arrives in fewer
+    splits than there are cores.  The explode -> partial-aggregate shape
+    all the fingerprint operators use parallelizes per INPUT partition,
+    so a small corpus read as one parquet split would hash every token
+    serially in one task.  At production scale the source has far more
+    splits than cores and this is a no-op (no shuffle is added) - the
+    guard only fires in the small-file regime where the shuffle it adds
+    is trivially cheap."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 MINHASH_SEEDS = 8
 LSH_BANDS = 4  # rows-per-band = MINHASH_SEEDS / LSH_BANDS = 2
 SIMHASH_BITS = 16  # hex digits of md5 used as dimensions
@@ -344,27 +362,51 @@ def simhash_fingerprints(
                 "h2"
             )
         )
-    toks = docs.select(
-        "doc_id", F.explode(words_col(F.col(text_col))).alias("w")
-    ).select("doc_id", *hash_cols)
+    # Fold the hex digits each dimension votes on into 16-bit BIGINT
+    # sub-chunks once per token (4 hex digits per conv - exact), so the
+    # per-dimension vote in the aggregate is shift+mask integer
+    # arithmetic instead of substring+uppercase+IN over characters:
+    # "digit >= 8" is exactly "high bit of the nibble set".  Identical
+    # output to the character formulation (the oracle SQL keeps the
+    # character form - DuckDB runs it once at fixture scale).
+    n_chunks = [(min(bits, 32) + 3) // 4, (max(bits - 32, 0) + 3) // 4]
+    sub_cols = []
+    for src_idx, src in enumerate(["h", "h2"][: len(hash_cols)]):
+        for c in range(n_chunks[src_idx]):
+            sub_cols.append(
+                F.conv(F.substring(src, 4 * c + 1, 4), 16, 10)
+                .cast("bigint")
+                .alias(f"u{src_idx}_{c}")
+            )
+    # The md5s + votes are computed in the partial aggregate, which runs
+    # on the INPUT partitioning - spread a single-split source first.
+    toks = (
+        _spread_input(docs.select("doc_id", F.col(text_col)))
+        .select(
+            "doc_id", F.explode(words_col(F.col(text_col))).alias("w")
+        )
+        .select("doc_id", *hash_cols)
+        .select("doc_id", *sub_cols)
+    )
 
-    def _digit(j: int) -> Column:
-        src = "h" if j < 32 else "h2"
-        return F.upper(F.substring(src, (j % 32) + 1, 1))
+    def _vote(j: int) -> Column:
+        src_idx, d = (0, j) if j < 32 else (1, j - 32)
+        chunk, p = d // 4, d % 4
+        return F.shiftrightunsigned(
+            F.col(f"u{src_idx}_{chunk}"), 4 * (3 - p) + 3
+        ).bitwiseAND(F.lit(1))
 
+    # +1/-1 vote sum == 2*(count of set high bits) - n, so "sum > 0"
+    # is "2*s_j > n" - one shared COUNT instead of 64 CASE branches.
     sums = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(_digit(j).isin(*"89ABCDEF"), F.lit(1)).otherwise(
-                    F.lit(-1)
-                )
-            ).alias(f"s{j}")
-            for j in range(bits)
-        ]
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(_vote(j)).alias(f"s{j}") for j in range(bits)],
     )
     bit_str = F.concat(
         *[
-            F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            F.when(
+                F.col(f"s{j}") * 2 > F.col("n"), F.lit("1")
+            ).otherwise(F.lit("0"))
             for j in range(bits)
         ]
     )
@@ -427,29 +469,68 @@ def simhash_neardup_pairs(
             f"(got max_hamming={max_hamming}, bands={bands})"
         )
     band_w = bits // bands
+    if band_w > 62:
+        raise ValueError(
+            f"band width {band_w} exceeds the exact BIGINT fold"
+        )
     fp = simhash_fingerprints(docs, text_col, bits=bits)
+
+    # Fold the '0'/'1' fingerprint into <=32-bit BIGINT chunks ONCE per
+    # doc (32 binary digits < 63 bits - exact, same argument as the
+    # minhash fold above), and the band key likewise.  The join then
+    # carries only small integers: no 64-char strings through the
+    # exchange, and the Hamming verify is bit_count(XOR) per chunk
+    # instead of re-parsing both strings per candidate pair.
+    def _b2(col: Column, start: int, width: int) -> Column:
+        return F.conv(F.substring(col, start, width), 2, 10).cast(
+            "bigint"
+        )
+
+    chunk_cols = []
+    pos = 1
+    while pos <= bits:
+        w = min(32, bits - pos + 1)
+        chunk_cols.append(
+            _b2(F.col("simhash"), pos, w).alias(f"c{len(chunk_cols)}")
+        )
+        pos += w
     banded = fp.select(
         "doc_id",
-        "simhash",
+        *chunk_cols,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band_no"),
-                        F.substring(
-                            "simhash", i * band_w + 1, band_w
+                        _b2(
+                            F.col("simhash"), i * band_w + 1, band_w
                         ).alias("band"),
                     )
                     for i in range(bands)
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "simhash", "b.band_no", "b.band")
-    banded = track(banded.persist())
+    ).select(
+        "doc_id", *[f"c{i}" for i in range(len(chunk_cols))],
+        "b.band_no", "b.band",
+    )
+    # Repartition by band key BEFORE caching: a small source (one
+    # parquet split) would otherwise persist as a single partition and
+    # run the whole self-join probe + verify serially in one task.
+    banded = track(banded.repartition("band_no", "band").persist())
     banded.count()  # both self-join sides read the cache
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    hamming = reduce(
+        lambda x, y: x + y,
+        [
+            F.bit_count(
+                F.col(f"a.c{i}").bitwiseXOR(F.col(f"b.c{i}"))
+            )
+            for i in range(len(chunk_cols))
+        ],
+    )
+    return (
         a.join(
             b,
             (F.col("a.band_no") == F.col("b.band_no"))
@@ -459,20 +540,13 @@ def simhash_neardup_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
+            hamming.alias("hamming"),
         )
-        # distinct over ALL columns (sim_a/sim_b are functions of the
-        # ids): pure distinct stays HashAggregate, while
-        # dropDuplicates([doc_a, doc_b]) would carry the sim strings in
-        # First() agg buffers and force SortAggregate
-        .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming", hamming_col(F.col("sim_a"), F.col("sim_b"), bits)
-        )
+        # verify BEFORE distinct: hamming is a function of the pair, so
+        # filtering first is equivalent but shrinks the distinct's input
+        # from every band collision to just the true near-dup pairs
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
         .select(
             "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
         )
