@@ -149,23 +149,31 @@ def planted_docs_values() -> str:
     return f"(VALUES {rows}) AS p(document_id, content)"
 
 
-def sentence_ctes(doc_table: str = "documents") -> str:
+def sentence_ctes(
+    doc_table: str = "documents", include_planted: bool = True
+) -> str:
     """CTE chain documents -> sent_base (mirrors pipeline.sentence_base)
     -> sentences (mirrors pipeline.sentences).  The deterministic
     mixed-language fixture docs (semantics.PLANTED_LANG_DOCS) are
     appended to the document source exactly as ``_docs`` does on the
     Spark side, so the monolingual driver testdata still exercises the
-    sv / cross-language / language-repair paths with real rows."""
+    sv / cross-language / language-repair paths with real rows.
+    ``include_planted=False`` skips that union for queries whose Spark
+    side consumes a raw files/docs frame rather than ``_docs``."""
     cleaned = sql_clean_sentence("text")
     wc = sql_word_count("cleaned")
     lang, score = sql_langid_select("cleaned")
     sid = uuid5_sql("'sentence'", "text", "document_id", "lang")
+    planted = (
+        "\n  UNION ALL\n"
+        f"  SELECT document_id, content FROM {planted_docs_values()}"
+        if include_planted
+        else ""
+    )
     return f"""
 __docs AS (
   SELECT CAST(doc_id AS VARCHAR) AS document_id, text AS content
-  FROM {doc_table}
-  UNION ALL
-  SELECT document_id, content FROM {planted_docs_values()}
+  FROM {doc_table}{planted}
 ),
 __toc AS (
   SELECT document_id,
@@ -450,13 +458,9 @@ _register(
     "WHERE t.tok_accepted AND t.norm = lex.form AND t.lang = lex.lang",
 )
 
-_register(
-    "triples_by_pred",
-    lambda spark, sf: P.triples(spark, _docs(spark, sf))
-    .groupBy("pred")
-    .agg(F.count("*").alias("n")),
-    f"WITH {sentence_ctes()}{token_ctes()} "
-    "SELECT pred, COUNT(*) AS n FROM ("
+# The six-branch full-graph union (oracle twin of pipeline.triples),
+# shared by triples_by_pred and the dedup-aware graph query.
+_GRAPH_UNION_SQL = (
     f"SELECT sentence_id AS subj, '{S.PRED_PART_OF}' AS pred, "
     "document_id AS obj FROM sentences "
     f"UNION ALL SELECT sentence_id, '{S.PRED_HAS_TEXT}', cleaned "
@@ -474,7 +478,65 @@ _register(
     f"UNION ALL SELECT DISTINCT {_RID_FROM_TOK_Q}, '{S.PRED_LINKS_TO}', "
     f"lex.lexeme_id FROM token_flags t, {lexeme_values()} "
     "WHERE t.tok_accepted AND t.norm = lex.form AND t.lang = lex.lang"
+)
+
+_register(
+    "triples_by_pred",
+    lambda spark, sf: P.triples(spark, _docs(spark, sf))
+    .groupBy("pred")
+    .agg(F.count("*").alias("n")),
+    f"WITH {sentence_ctes()}{token_ctes()} "
+    "SELECT pred, COUNT(*) AS n FROM ("
+    f"{_GRAPH_UNION_SQL}"
     ") GROUP BY pred",
+)
+
+
+def _dup_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic north-rule files table with PLANTED CONTENT
+    DUPLICATION: every driver document appears at three commits under
+    the same (repo, path) - the cross-commit redundancy profile of a
+    real code-repo corpus, where a file unchanged across commits
+    repeats its bytes verbatim.  Input fixture for the dedup-aware
+    graph build (pipeline.triples_dedup); the DuckDB twin mirrors this
+    construction row for row."""
+    commits = spark.createDataFrame(
+        [("c0",), ("c1",), ("c2",)], "commit string"
+    )
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .crossJoin(F.broadcast(commits))
+        .select(
+            F.concat(
+                F.lit("repo-"), (F.col("doc_id") % 7).cast("string")
+            ).alias("repo"),
+            F.concat(
+                F.lit("src/"), F.col("doc_id").cast("string"), F.lit(".txt")
+            ).alias("path"),
+            "commit",
+            F.lit("text").alias("lang"),
+            F.col("text").alias("content"),
+        )
+    )
+
+
+_DUP_FILES_SQL = (
+    "SELECT 'repo-' || CAST(doc_id % 7 AS VARCHAR) AS repo, "
+    "'src/' || CAST(doc_id AS VARCHAR) || '.txt' AS path, "
+    "c.commit, text AS content "
+    "FROM documents, (VALUES ('c0'), ('c1'), ('c2')) AS c(commit)"
+)
+
+_register(
+    "triples_dedup_graph",
+    lambda spark, sf: P.triples_dedup(spark, _dup_files(spark, sf)),
+    "WITH __dup_files AS ("
+    f"{_DUP_FILES_SQL}"
+    "), __dup_src AS ("
+    f"SELECT {uuid5_sql(chr(39) + 'document' + chr(39), 'repo', 'path', 'commit')} "
+    "AS doc_id, content AS text FROM __dup_files"
+    f"),{sentence_ctes('__dup_src', include_planted=False)}{token_ctes()} "
+    f"SELECT subj, pred, obj FROM ({_GRAPH_UNION_SQL})",
 )
 
 

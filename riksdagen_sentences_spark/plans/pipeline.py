@@ -567,3 +567,133 @@ def triples(
         )
         .unionByName(links_to_edges(toks, spark))
     )
+
+
+def triples_dedup(
+    spark: SparkSession,
+    files: DataFrame,
+    use_udf_langid: bool = False,
+    cache: bool = True,
+    gazetteer: DataFrame | None = None,
+) -> DataFrame:
+    """Content-addressed graph build over the north-rule ``files`` table:
+    row-set identical to ``triples(spark, docs_from_files(files))`` but
+    every expensive per-content stage (sentenize, langid, cleaning,
+    tokenize, POS, NER) runs ONCE PER DISTINCT CONTENT, not once per
+    file.
+
+    At 10^12-file code-repo scale most (repo, path, commit) rows carry
+    bytes already seen at another commit - a file unchanged across k
+    commits appears k times with identical content.  The naive pipeline
+    pays the full kernel chain k times; this plan pays it once and then
+    re-binds the per-content results to every file with ONE linear hash
+    join on content_sha (uniform keys - sha256 cannot skew), which is
+    the scale-correct trade: the join shuffles narrow skeleton rows,
+    the kernels are the dominant cost.  (Reference analog: S5 dedups
+    PDF downloads by md5 file naming,
+    /root/reference/models/providers/folketinget_file.py:37-55 - the
+    same content-addressing idea applied to the compute instead of the
+    download.)
+
+    Correctness rests on every emitted id being a pure function of
+    content-local values plus document_id (ids.py): the per-content
+    pass runs with document_id := content_sha as a placeholder, carries
+    (content_sha, text, lang) on each doc-dependent skeleton row, and
+    the expansion recomputes the real uuid5 ids after the join.  The
+    content-only branches (normalizesTo, linksTo - both sides are
+    functions of token text alone) are emitted once globally, exactly
+    as ``triples`` emits them after its global dedup.
+    """
+    sha = F.sha2(F.col("content"), 256)
+    mapping = files.select(
+        sha.alias("content_sha"),
+        uuid5_col(F.lit("document"), "repo", "path", "commit").alias(
+            "document_id"
+        ),
+    )
+    if cache:
+        # consumed by three expansion joins; recomputing it would
+        # re-hash every file's full content per consumer
+        mapping = mapping.persist()
+    reps = files.select(sha.alias("content_sha"), "content").dropDuplicates(
+        ["content_sha"]
+    )
+    docs = reps.select(F.col("content_sha").alias("document_id"), "content")
+    base = sentence_base(docs, use_udf_langid=use_udf_langid)
+    if cache:
+        base = base.persist()
+    sents = sentences(base)
+    if cache:
+        sents = sents.persist()
+    toks = token_base(base)
+    if cache:
+        toks = toks.persist()
+
+    sid = uuid5_col(F.lit("sentence"), "text", "document_id", "lang")
+
+    exp_sents = sents.select(
+        F.col("document_id").alias("content_sha"), "text", "cleaned", "lang"
+    ).join(mapping, "content_sha")
+    part_of = exp_sents.select(
+        sid.alias("subj"),
+        F.lit(S.PRED_PART_OF).alias("pred"),
+        F.col("document_id").alias("obj"),
+    )
+    has_text = exp_sents.select(
+        sid.alias("subj"),
+        F.lit(S.PRED_HAS_TEXT).alias("pred"),
+        F.col("cleaned").alias("obj"),
+    )
+
+    # occursIn: per-content-unique (rawtoken, sentence-key) skeleton;
+    # expansion cannot create duplicates because distinct files get
+    # distinct document_ids (and thus distinct sentence ids)
+    occ_skel = (
+        toks.filter(F.col("tok_accepted") & F.col("sent_accepted"))
+        .select(
+            uuid5_col(F.lit("rawtoken"), "raw", "pos", "lang").alias("rt"),
+            F.col("document_id").alias("content_sha"),
+            "text",
+            "lang",
+        )
+        .dropDuplicates(["rt", "content_sha", "text", "lang"])
+    )
+    occurs = occ_skel.join(mapping, "content_sha").select(
+        F.col("rt").alias("subj"),
+        F.lit(S.PRED_OCCURS_IN).alias("pred"),
+        sid.alias("obj"),
+    )
+
+    # mentions: the NER matcher sees one row per distinct-content
+    # sentence; the struct "sentence_id" smuggles the expansion key
+    # through mention_rows (which treats the id as opaque)
+    keyed = sents.select(
+        F.struct(
+            F.col("document_id").alias("content_sha"), "text", "lang"
+        ).alias("sentence_id"),
+        "cleaned",
+    )
+    ment = mention_rows(keyed, gazetteer=gazetteer)
+    mentions = (
+        ment.select(
+            F.col("sentence_id.content_sha").alias("content_sha"),
+            F.col("sentence_id.text").alias("text"),
+            F.col("sentence_id.lang").alias("lang"),
+            "label",
+            "ner_label",
+        )
+        .join(mapping, "content_sha")
+        .select(
+            sid.alias("subj"),
+            F.lit(S.PRED_MENTIONS).alias("pred"),
+            uuid5_col(F.lit("entity"), "label", "ner_label").alias("obj"),
+        )
+    )
+
+    return (
+        part_of.unionByName(has_text)
+        .unionByName(occurs)
+        .unionByName(normalizes_to_edges(toks))
+        .unionByName(mentions)
+        .unionByName(links_to_edges(toks, spark))
+    )

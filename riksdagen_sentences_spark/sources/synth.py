@@ -68,24 +68,34 @@ def files_table(
     seed: int = 42,
     hot_fraction: float = 0.30,
     big_doc_every: int = 0,
+    dup_factor: int = 1,
 ) -> DataFrame:
     """Deterministic distributed generator for the files table.
 
     ``big_doc_every``: if >0, every k-th row gets >100k chars of content
     to exercise the chunking path (kernels/sentenize.py).
+
+    ``dup_factor``: if >1, contents are drawn from only
+    ``n_rows // dup_factor`` distinct texts (content seed = row id
+    modulo that), while (repo, path, commit) stay unique per row - the
+    cross-commit duplication profile of a real code corpus, the input
+    regime ``pipeline.triples_dedup`` exists for.  ``dup_factor=1``
+    reproduces the historical table byte for byte.
     """
+    n_distinct = max(1, n_rows // max(1, dup_factor))
 
     @F.pandas_udf(StringType())
     def gen_content(ids: pd.Series) -> pd.Series:
         out = []
         for i in ids:
-            rng = random.Random(seed * 1_000_003 + int(i))
+            ci = int(i) % n_distinct
+            rng = random.Random(seed * 1_000_003 + ci)
             lang = rng.choices(
                 ["sv", "en", "nb", "de", "fr", "da", "xx"],
                 weights=[60, 12, 8, 8, 6, 3, 3],
             )[0]
-            text = _make_content(rng, lang, int(i) % 11)
-            if big_doc_every and int(i) % big_doc_every == 7:
+            text = _make_content(rng, lang, ci % 11)
+            if big_doc_every and ci % big_doc_every == 7:
                 text = (text + " ") * (120_000 // max(1, len(text)) + 1)
             out.append(text)
         return pd.Series(out, index=ids.index)
