@@ -315,6 +315,35 @@ def main() -> None:
     timed("triples_dup5_naive_100k", q_dup_naive)
     timed("triples_dup5_dedup_100k", q_dup_dedup, repeats=2)
 
+    # q9: incremental maintenance (plans/delta.py) - with the dup5
+    # corpus seeded into a delta store, a NEW COMMIT of unchanged
+    # files (the dominant update at code-repo scale) must cost ledger
+    # anti-joins + a files-ledger append, NOT the kernel chain: the
+    # artifact pins contents_fresh == 0 alongside the wall time.
+    import shutil
+    import tempfile
+
+    from riksdagen_sentences_spark.plans import delta as DL
+
+    delta_store = tempfile.mkdtemp(prefix="bench_delta_store_")
+    base_files = spark.read.parquet(dup_path)
+    reuse_files = base_files.withColumn(
+        "commit", F.concat(F.lit("next-"), F.col("commit"))
+    )
+
+    def q_delta_seed():
+        c = DL.update_graph(spark, delta_store, base_files)
+        extras["delta_seed_contents_fresh"] = c["contents_fresh"]
+
+    def q_delta_reuse():
+        c = DL.update_graph(spark, delta_store, reuse_files)
+        extras["delta_reuse_files_new"] = c["files_new"]
+        extras["delta_reuse_contents_fresh"] = c["contents_fresh"]
+
+    timed("delta_seed_100k", q_delta_seed)
+    timed("delta_update_reuse_100k", q_delta_reuse)
+    shutil.rmtree(delta_store, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

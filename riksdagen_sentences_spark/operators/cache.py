@@ -27,6 +27,22 @@ def track(df: DataFrame) -> DataFrame:
     return df
 
 
+def spread_input(df: DataFrame) -> DataFrame:
+    """Round-robin the input across the cluster when it arrives in
+    fewer splits than there are cores.  Explode -> partial-aggregate
+    (and explode -> project) chains parallelize per INPUT partition, so
+    a small corpus read as one parquet split would run its whole kernel
+    chain serially in one task.  At production scale the source has far
+    more splits than cores and this is a NO-OP (no shuffle is added) -
+    the guard only fires in the small-file regime where the shuffle it
+    adds is trivially cheap."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def release_intermediates() -> int:
     """Unpersist every tracked intermediate.  Safe to call at any time -
     a not-yet-materialized result that still references a released

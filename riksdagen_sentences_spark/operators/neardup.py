@@ -36,26 +36,11 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .cache import spread_input as _spread_input
 from .cache import track
 from .textstats import normalized_text_col
 
 SHINGLE_K = 3
-
-
-def _spread_input(df: DataFrame) -> DataFrame:
-    """Round-robin the input across the cluster when it arrives in fewer
-    splits than there are cores.  The explode -> partial-aggregate shape
-    all the fingerprint operators use parallelizes per INPUT partition,
-    so a small corpus read as one parquet split would hash every token
-    serially in one task.  At production scale the source has far more
-    splits than cores and this is a no-op (no shuffle is added) - the
-    guard only fires in the small-file regime where the shuffle it adds
-    is trivially cheap."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 MINHASH_SEEDS = 8
 LSH_BANDS = 4  # rows-per-band = MINHASH_SEEDS / LSH_BANDS = 2
 SIMHASH_BITS = 16  # hex digits of md5 used as dimensions

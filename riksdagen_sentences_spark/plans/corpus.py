@@ -540,6 +540,37 @@ _register(
 )
 
 
+_DELTA_MEMO: dict = {}
+
+
+def _delta_assembled(spark: SparkSession, sf: str) -> DataFrame:
+    """The INCREMENTAL build (plans/delta.py) of the same duplicated
+    corpus: commits c0+c1 land as batch 1, c2 as batch 2 (its files are
+    pure cross-commit content reuse, so batch 2 runs ZERO kernel work),
+    then assemble_graph re-binds the stored skeletons.  The oracle is
+    the identical from-scratch SQL as triples_dedup_graph - the store
+    round-trip must be invisible in the row set."""
+    import tempfile
+
+    from . import delta as DL
+
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _DELTA_MEMO:
+        store = tempfile.mkdtemp(prefix="sgraft_delta_store_")
+        files = _dup_files(spark, sf)
+        DL.update_graph(spark, store, files.filter(F.col("commit") != "c2"))
+        DL.update_graph(spark, store, files.filter(F.col("commit") == "c2"))
+        _DELTA_MEMO[key] = store
+    return DL.assemble_graph(spark, _DELTA_MEMO[key])
+
+
+_register(
+    "triples_delta_graph",
+    _delta_assembled,
+    ORACLES["triples_dedup_graph"],
+)
+
+
 # ---------------------------------------------------------------------------
 # Reference SQL-corpus analogues (the 28 hand-written queries in
 # /root/reference/sql/*.sql, re-expressed over the graph tables).

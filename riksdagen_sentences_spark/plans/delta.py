@@ -1,0 +1,235 @@
+"""Incremental (delta) graph maintenance at CONTENT granularity.
+
+``materialize.run_incremental`` resumes a FIXED corpus build from
+per-partition checkpoints; this module handles corpus GROWTH: each
+update batch brings new (repo, path, commit) files - a new commit -
+most of whose contents were already processed in an earlier batch (a
+commit changes few files; at 10^12-file scale reprocessing the corpus
+per commit is impossible).  ``update_graph`` runs the kernel chain
+(sentenize, langid, tokenize, POS, NER) ONLY for content sha256s never
+seen before, appending their skeletons (pipeline.content_skeletons) to
+an at-rest store; batch cost is O(new distinct contents + new files),
+independent of corpus size.  ``assemble_graph`` re-binds every stored
+skeleton to every ledgered file (pipeline.expand_skeletons) and is
+row-set identical to a from-scratch ``triples_dedup`` - and therefore
+to the naive ``triples`` - over the union of all batches.
+
+Idempotency / crash safety: every batch writes under a deterministic
+``batch=<id>`` partition directory (id = order-independent hash of the
+batch's SUBMITTED document ids) with overwrite mode, and commits by
+writing a tiny marker row under ``commits/batch=<id>`` strictly LAST.
+Readers only see committed batches: ledger lookups and
+``assemble_graph`` filter every table to batch ids present in
+``commits``, so a crashed batch's partial skeleton/ledger rows are
+invisible until its retry overwrites them and the marker lands.  A
+re-submitted committed batch is detected by its marker and skipped
+outright; files already ledgered by OTHER committed batches are
+skipped row-wise; contents in the committed contents ledger are never
+recomputed.  On an Iceberg catalog the marker discipline becomes
+snapshot commits / MERGE INTO; the parquet layout here is the
+format-agnostic stand-in (same note as plans/materialize.py).
+
+Reference analog: the reference marks documents processed and skips
+them on resume (models/document.py:45-50) - per-document, single node.
+This is the same idea content-addressed and distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import pipeline as P
+
+SKEL_TABLES = ("sentences", "occurs", "mentions", "content_edges")
+_EMPTY_SCHEMAS = {
+    "sentences": (
+        "content_sha string, text string, cleaned string, lang string"
+    ),
+    "occurs": "rt string, content_sha string, text string, lang string",
+    "mentions": (
+        "content_sha string, text string, lang string, label string, "
+        "ner_label string"
+    ),
+    "content_edges": "subj string, pred string, obj string",
+    "files_ledger": "content_sha string, document_id string",
+    "contents_ledger": "content_sha string",
+}
+
+
+def _committed_batches(spark: SparkSession, store_dir: str) -> list[str]:
+    """Batch ids whose commit marker landed.  Bounded by the number of
+    update batches ever applied (one tiny row each), so the driver-side
+    list is safe at any corpus scale."""
+    try:
+        rows = spark.read.parquet(f"{store_dir}/commits").collect()
+    except Exception:
+        return []
+    return [r["batch"] for r in rows]
+
+
+def _read_or_empty(
+    spark: SparkSession,
+    store_dir: str,
+    name: str,
+    committed: list[str],
+) -> DataFrame:
+    """Read a store table, keeping only rows written by COMMITTED
+    batches.  A crashed batch's partial rows (skeletons or ledgers
+    written before its marker) are thereby invisible - the retry
+    overwrites its own directories before the marker lands, so readers
+    never observe a half-applied batch."""
+    try:
+        df = spark.read.parquet(f"{store_dir}/{name}")
+    except Exception:
+        return spark.createDataFrame([], _EMPTY_SCHEMAS[name])
+    if "batch" not in df.columns:
+        return df
+    return df.filter(
+        F.col("batch").cast("string").isin(committed)
+    ).drop("batch")
+
+
+def _batch_id(mapping: DataFrame) -> str:
+    """Deterministic, order-independent id of a batch's SUBMITTED file
+    set: the wrapped sum of xxhash64(document_id) plus the count.  A
+    re-submitted batch (same files) maps to the same partition
+    directory and overwrites its own prior - possibly partial - output;
+    a crashed batch must therefore be retried with the same file set."""
+    row = mapping.agg(
+        # decimal(38,0) sum: exact for any batch size and immune to the
+        # ANSI-mode long-overflow error a raw BIGINT sum would raise
+        F.sum(F.xxhash64("document_id").cast("decimal(38,0)")).alias("h"),
+        F.count("*").alias("n"),
+    ).first()
+    return f"{int(row['h'] or 0) % (1 << 64):016x}-{row['n']}"
+
+
+def _write_batch(df: DataFrame, store_dir: str, name: str, batch: str) -> None:
+    df.write.mode("overwrite").parquet(
+        f"{store_dir}/{name}/batch={batch}"
+    )
+
+
+def _write_commit(
+    spark: SparkSession, store_dir: str, batch: str, n_files: int
+) -> None:
+    """The batch's commit point: one marker row, written only after
+    every table directory of the batch is fully on disk."""
+    spark.createDataFrame(
+        [(n_files,)], "files_submitted bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{store_dir}/commits/batch={batch}"
+    )
+
+
+def update_graph(
+    spark: SparkSession,
+    store_dir: str,
+    new_files: DataFrame,
+    gazetteer: DataFrame | None = None,
+) -> dict[str, int]:
+    """Apply one batch of files to the store.  Returns lineage counts:
+    files submitted / new / skipped, contents fresh / reused.
+
+    The gazetteer (and lexeme dictionary) must be held constant across
+    batches - skeletons computed under different dictionaries would
+    disagree with a from-scratch build.
+    """
+    mapping = P.files_mapping(new_files).persist()
+    # the batch id hashes the SUBMITTED set, so a retried batch lands
+    # on the same directories no matter how far its first attempt got
+    batch = _batch_id(mapping)
+    committed = _committed_batches(spark, store_dir)
+    if batch in committed:
+        n = mapping.count()
+        mapping.unpersist()
+        return {
+            "files_submitted": n,
+            "files_new": 0,
+            "files_skipped": n,
+            "contents_fresh": 0,
+            "contents_reused": 0,
+        }
+    known_files = _read_or_empty(spark, store_dir, "files_ledger", committed)
+    fresh_files = mapping.join(
+        known_files.select("document_id"), "document_id", "left_anti"
+    ).persist()
+
+    known_contents = _read_or_empty(
+        spark, store_dir, "contents_ledger", committed
+    )
+    fresh_shas = (
+        fresh_files.select("content_sha")
+        .distinct()
+        .join(known_contents, "content_sha", "left_anti")
+        .persist()
+    )
+
+    n_files = mapping.count()
+    n_fresh_files = fresh_files.count()
+    n_fresh_contents = fresh_shas.count()
+
+    if n_fresh_files == 0:
+        # nothing to add, but commit the marker so an identical
+        # re-submission short-circuits at the committed-batch check
+        _write_commit(spark, store_dir, batch, n_files)
+        mapping.unpersist()
+        fresh_files.unpersist()
+        fresh_shas.unpersist()
+        return {
+            "files_submitted": n_files,
+            "files_new": 0,
+            "files_skipped": n_files,
+            "contents_fresh": 0,
+            "contents_reused": 0,
+        }
+
+    if n_fresh_contents > 0:
+        sha = F.sha2(F.col("content"), 256)
+        reps = (
+            new_files.select(sha.alias("content_sha"), "content")
+            .dropDuplicates(["content_sha"])
+            .join(fresh_shas, "content_sha", "left_semi")
+        )
+        skel = P.content_skeletons(spark, reps, gazetteer=gazetteer)
+        # skeletons first, ledgers next, marker strictly last: a crash
+        # anywhere before the marker leaves rows no reader can see, and
+        # the retry overwrites exactly those directories
+        for name in SKEL_TABLES:
+            _write_batch(skel[name], store_dir, name, batch)
+    _write_batch(fresh_shas, store_dir, "contents_ledger", batch)
+    _write_batch(fresh_files, store_dir, "files_ledger", batch)
+    _write_commit(spark, store_dir, batch, n_files)
+
+    mapping.unpersist()
+    fresh_files.unpersist()
+    fresh_shas.unpersist()
+    return {
+        "files_submitted": n_files,
+        "files_new": n_fresh_files,
+        "files_skipped": n_files - n_fresh_files,
+        "contents_fresh": n_fresh_contents,
+        "contents_reused": n_fresh_files - n_fresh_contents,
+    }
+
+
+def assemble_graph(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The full (subj, pred, obj) graph over every batch applied so
+    far - row-set identical to ``triples_dedup`` (and the naive
+    ``triples``) over the union of all submitted files.  Content-only
+    edges are re-distinct'ed across batches: a content fresh in batch 2
+    may repeat a (rawtoken, normtoken) pair batch 1 already emitted."""
+    committed = _committed_batches(spark, store_dir)
+    skel = {
+        name: _read_or_empty(spark, store_dir, name, committed)
+        for name in SKEL_TABLES
+    }
+    mapping = _read_or_empty(spark, store_dir, "files_ledger", committed)
+    part_of, has_text, occurs, mentions = P.expand_skeletons(skel, mapping)
+    return (
+        part_of.unionByName(has_text)
+        .unionByName(occurs)
+        .unionByName(skel["content_edges"].dropDuplicates(["subj", "pred", "obj"]))
+        .unionByName(mentions)
+    )

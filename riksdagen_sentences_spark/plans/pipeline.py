@@ -31,6 +31,7 @@ from .. import semantics as S
 from ..functions import columns as C
 from ..functions import udfs as U
 from ..ids import uuid5_col
+from ..operators.cache import spread_input
 from ..operators.dedup import salted_dedup
 from ..sources import dims
 
@@ -124,7 +125,13 @@ def sentence_base(
 
     Columns: document_id, sent_idx, text, cleaned, word_count, lang, score
     """
-    sent = sentence_rows(docs, use_udf_sentenize=use_udf_sentenize)
+    # Spread a few-split source first: the whole sentenize + clean +
+    # langid chain otherwise runs on the INPUT partitioning (one task
+    # per parquet split until the dedup shuffle).  No-op at production
+    # split counts; ~35% off the sf0.1 flagship locally.
+    sent = sentence_rows(
+        spread_input(docs), use_udf_sentenize=use_udf_sentenize
+    )
     base = (
         sent.withColumn("cleaned", C.clean_sentence_col(F.col("text")))
         .withColumn("word_count", C.clean_word_count_col(F.col("cleaned")))
@@ -604,21 +611,72 @@ def triples_dedup(
     functions of token text alone) are emitted once globally, exactly
     as ``triples`` emits them after its global dedup.
     """
-    sha = F.sha2(F.col("content"), 256)
-    mapping = files.select(
-        sha.alias("content_sha"),
-        uuid5_col(F.lit("document"), "repo", "path", "commit").alias(
-            "document_id"
-        ),
-    )
+    mapping = files_mapping(files)
     if cache:
         # consumed by three expansion joins; recomputing it would
         # re-hash every file's full content per consumer
         mapping = mapping.persist()
+    sha = F.sha2(F.col("content"), 256)
     reps = files.select(sha.alias("content_sha"), "content").dropDuplicates(
         ["content_sha"]
     )
-    docs = reps.select(F.col("content_sha").alias("document_id"), "content")
+    skel = content_skeletons(
+        spark,
+        reps,
+        use_udf_langid=use_udf_langid,
+        cache=cache,
+        gazetteer=gazetteer,
+    )
+    part_of, has_text, occurs, mentions = expand_skeletons(skel, mapping)
+    return (
+        part_of.unionByName(has_text)
+        .unionByName(occurs)
+        .unionByName(skel["content_edges"])
+        .unionByName(mentions)
+    )
+
+
+def files_mapping(files: DataFrame) -> DataFrame:
+    """(content_sha, document_id) - one row per FILE.  Deduped on
+    document_id so accidental exact-duplicate input rows (same repo,
+    path, commit twice) cannot double the expansion edges - the naive
+    pipeline collapses those through its UNIQUE constraints, and the
+    dedup-aware build must match it row for row."""
+    return files.select(
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+        uuid5_col(F.lit("document"), "repo", "path", "commit").alias(
+            "document_id"
+        ),
+    ).dropDuplicates(["document_id"])
+
+
+def content_skeletons(
+    spark: SparkSession,
+    reps: DataFrame,
+    use_udf_langid: bool = False,
+    cache: bool = True,
+    gazetteer: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """Per-DISTINCT-CONTENT intermediates of the graph build, keyed by
+    content_sha.  ``reps`` is (content_sha, content), one row per
+    distinct content.  Returns:
+
+    - ``sentences``: (content_sha, text, cleaned, lang) - accepted
+      canonical sentences of each content;
+    - ``occurs``: (rt, content_sha, text, lang) - per-content-unique
+      (rawtoken id, sentence key) pairs;
+    - ``mentions``: (content_sha, text, lang, label, ner_label);
+    - ``content_edges``: ready (subj, pred, obj) normalizesTo/linksTo
+      edges - both sides are functions of token text alone, so they
+      need no per-file expansion (deduped within this frame; a caller
+      unioning skeletons from several batches must re-distinct).
+
+    These are exactly the frames :func:`expand_skeletons` re-binds to
+    files, and the at-rest schema of the delta store (plans/delta.py).
+    """
+    docs = reps.select(
+        F.col("content_sha").alias("document_id"), "content"
+    )
     base = sentence_base(docs, use_udf_langid=use_udf_langid)
     if cache:
         base = base.persist()
@@ -629,22 +687,9 @@ def triples_dedup(
     if cache:
         toks = toks.persist()
 
-    sid = uuid5_col(F.lit("sentence"), "text", "document_id", "lang")
-
-    exp_sents = sents.select(
+    sents_skel = sents.select(
         F.col("document_id").alias("content_sha"), "text", "cleaned", "lang"
-    ).join(mapping, "content_sha")
-    part_of = exp_sents.select(
-        sid.alias("subj"),
-        F.lit(S.PRED_PART_OF).alias("pred"),
-        F.col("document_id").alias("obj"),
     )
-    has_text = exp_sents.select(
-        sid.alias("subj"),
-        F.lit(S.PRED_HAS_TEXT).alias("pred"),
-        F.col("cleaned").alias("obj"),
-    )
-
     # occursIn: per-content-unique (rawtoken, sentence-key) skeleton;
     # expansion cannot create duplicates because distinct files get
     # distinct document_ids (and thus distinct sentence ids)
@@ -658,12 +703,6 @@ def triples_dedup(
         )
         .dropDuplicates(["rt", "content_sha", "text", "lang"])
     )
-    occurs = occ_skel.join(mapping, "content_sha").select(
-        F.col("rt").alias("subj"),
-        F.lit(S.PRED_OCCURS_IN).alias("pred"),
-        sid.alias("obj"),
-    )
-
     # mentions: the NER matcher sees one row per distinct-content
     # sentence; the struct "sentence_id" smuggles the expansion key
     # through mention_rows (which treats the id as opaque)
@@ -673,27 +712,52 @@ def triples_dedup(
         ).alias("sentence_id"),
         "cleaned",
     )
-    ment = mention_rows(keyed, gazetteer=gazetteer)
-    mentions = (
-        ment.select(
-            F.col("sentence_id.content_sha").alias("content_sha"),
-            F.col("sentence_id.text").alias("text"),
-            F.col("sentence_id.lang").alias("lang"),
-            "label",
-            "ner_label",
-        )
-        .join(mapping, "content_sha")
-        .select(
-            sid.alias("subj"),
-            F.lit(S.PRED_MENTIONS).alias("pred"),
-            uuid5_col(F.lit("entity"), "label", "ner_label").alias("obj"),
-        )
+    ment_skel = mention_rows(keyed, gazetteer=gazetteer).select(
+        F.col("sentence_id.content_sha").alias("content_sha"),
+        F.col("sentence_id.text").alias("text"),
+        F.col("sentence_id.lang").alias("lang"),
+        "label",
+        "ner_label",
     )
+    content_edges = normalizes_to_edges(toks).unionByName(
+        links_to_edges(toks, spark)
+    )
+    return {
+        "sentences": sents_skel,
+        "occurs": occ_skel,
+        "mentions": ment_skel,
+        "content_edges": content_edges,
+    }
 
-    return (
-        part_of.unionByName(has_text)
-        .unionByName(occurs)
-        .unionByName(normalizes_to_edges(toks))
-        .unionByName(mentions)
-        .unionByName(links_to_edges(toks, spark))
+
+def expand_skeletons(
+    skel: dict[str, DataFrame], mapping: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Re-bind per-content skeletons to files: one linear hash join per
+    doc-dependent branch on content_sha (uniform keys - sha256 cannot
+    skew), recomputing the real uuid5 ids after the join.  Returns
+    (part_of, has_text, occurs, mentions) edge frames."""
+    sid = uuid5_col(F.lit("sentence"), "text", "document_id", "lang")
+
+    exp_sents = skel["sentences"].join(mapping, "content_sha")
+    part_of = exp_sents.select(
+        sid.alias("subj"),
+        F.lit(S.PRED_PART_OF).alias("pred"),
+        F.col("document_id").alias("obj"),
     )
+    has_text = exp_sents.select(
+        sid.alias("subj"),
+        F.lit(S.PRED_HAS_TEXT).alias("pred"),
+        F.col("cleaned").alias("obj"),
+    )
+    occurs = skel["occurs"].join(mapping, "content_sha").select(
+        F.col("rt").alias("subj"),
+        F.lit(S.PRED_OCCURS_IN).alias("pred"),
+        sid.alias("obj"),
+    )
+    mentions = skel["mentions"].join(mapping, "content_sha").select(
+        sid.alias("subj"),
+        F.lit(S.PRED_MENTIONS).alias("pred"),
+        uuid5_col(F.lit("entity"), "label", "ner_label").alias("obj"),
+    )
+    return part_of, has_text, occurs, mentions

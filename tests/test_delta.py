@@ -1,0 +1,108 @@
+"""Incremental content-granular graph maintenance (plans/delta.py).
+
+The pin: after any sequence of update_graph batches, assemble_graph
+must be row-set identical to the one-shot triples build over the union
+of all submitted files - while each batch's kernel work is bounded by
+its genuinely new contents (lineage counts assert the reuse).
+"""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from riksdagen_sentences_spark.plans import delta as D
+from riksdagen_sentences_spark.plans import pipeline as P
+from riksdagen_sentences_spark.sources.synth import files_table
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture()
+def batches(spark):
+    """Three commit batches: b2 re-ships every b1 content under new
+    commits (pure reuse); b3 mixes 40 reused + 60 new contents."""
+    b1 = files_table(spark, n_rows=200, seed=42).cache()
+    b2 = b1.withColumn(
+        "commit", F.concat(F.lit("r2-"), F.col("commit"))
+    ).cache()
+    b3 = (
+        files_table(spark, n_rows=260, seed=42)
+        .withColumn("commit", F.concat(F.lit("r3-"), F.col("commit")))
+        .cache()
+    )
+    return b1, b2, b3
+
+
+def test_incremental_equals_one_shot(spark, tmp_path, batches):
+    b1, b2, b3 = batches
+    store = str(tmp_path / "store")
+
+    c1 = D.update_graph(spark, store, b1)
+    assert c1["files_new"] == 200
+    assert c1["contents_fresh"] > 0
+
+    c2 = D.update_graph(spark, store, b2)
+    assert c2["files_new"] == 200
+    assert c2["contents_fresh"] == 0  # pure cross-commit reuse
+    assert c2["contents_reused"] == 200
+
+    c3 = D.update_graph(spark, store, b3)
+    assert c3["files_new"] == 260
+    # rows 0..199 re-use b1's contents; 200..259 are genuinely new
+    assert 0 < c3["contents_fresh"] <= 60
+
+    union = b1.unionByName(b2).unionByName(b3)
+    expected = _rows(P.triples(spark, P.docs_from_files(union)))
+    assert _rows(D.assemble_graph(spark, store)) == expected
+    # and identical to the from-scratch dedup-aware build
+    assert _rows(P.triples_dedup(spark, union)) == expected
+
+
+def test_resubmitted_batch_is_skipped(spark, tmp_path, batches):
+    b1, _, _ = batches
+    store = str(tmp_path / "store")
+    D.update_graph(spark, store, b1)
+    before = _rows(D.assemble_graph(spark, store))
+    again = D.update_graph(spark, store, b1)
+    assert again["files_new"] == 0
+    assert again["files_skipped"] == 200
+    assert _rows(D.assemble_graph(spark, store)) == before
+
+
+def test_crash_before_files_ledger_recovers(spark, tmp_path, batches):
+    """Worst partial commit: skeletons + contents_ledger written, crash
+    before files_ledger.  The retry must neither strand the contents
+    nor duplicate skeleton rows."""
+    b1, b2, _ = batches
+    store = str(tmp_path / "store")
+    D.update_graph(spark, store, b1)
+
+    D.update_graph(spark, store, b2)
+    batch2 = D._batch_id(P.files_mapping(b2))
+    # simulate the crash: erase everything the marker-last ordering
+    # writes after the contents ledger (files ledger + commit marker)
+    shutil.rmtree(f"{store}/files_ledger/batch={batch2}")
+    shutil.rmtree(f"{store}/commits/batch={batch2}")
+
+    # the half-applied batch must be invisible to readers
+    b1_only = _rows(D.assemble_graph(spark, store))
+    assert b1_only == _rows(P.triples(spark, P.docs_from_files(b1)))
+
+    retry = D.update_graph(spark, store, b2)
+    assert retry["files_new"] == 200
+
+    union = b1.unionByName(b2)
+    expected = _rows(P.triples(spark, P.docs_from_files(union)))
+    assert _rows(D.assemble_graph(spark, store)) == expected
+
+
+def test_empty_batch_noop(spark, tmp_path, batches):
+    b1, _, _ = batches
+    store = str(tmp_path / "store")
+    D.update_graph(spark, store, b1)
+    empty = b1.limit(0)
+    c = D.update_graph(spark, store, empty)
+    assert c["files_submitted"] == 0 and c["files_new"] == 0
