@@ -58,6 +58,54 @@ def stream_files_to_graph(
     return writer.start()
 
 
+def stream_files_to_delta_store(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    gazetteer: DataFrame | None = None,
+):
+    """File-arrival stream -> incremental delta store (plans/delta.py):
+    each micro-batch runs the kernel chain only for content sha256s the
+    store has never seen, so a stream dominated by cross-commit content
+    reuse (the production code-repo regime) does ledger bookkeeping
+    per trigger, not kernels.  Query the live graph any time with
+    ``delta.assemble_graph(spark, store_dir)``.
+
+    Exactly-once for real: ``foreachBatch`` is only at-least-once - on
+    recovery Spark can re-invoke the function for a batch whose sink
+    work partially completed, which duplicates rows under the plain
+    append sink of :func:`stream_files_to_graph`.  Here the replayed
+    micro-batch hashes to the same deterministic delta batch id, so it
+    either short-circuits on the commit marker or overwrites exactly
+    its own partial directories - the store never double-counts.
+    Returns the StreamingQuery."""
+    from ..plans import delta as DL
+
+    stream = (
+        spark.readStream.schema(FILES_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        DL.update_graph(
+            batch_df.sparkSession, store_dir, batch_df, gazetteer=gazetteer
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_first_seen(
     stream_df: DataFrame,
     key_col: str,

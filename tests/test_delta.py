@@ -106,3 +106,44 @@ def test_empty_batch_noop(spark, tmp_path, batches):
     empty = b1.limit(0)
     c = D.update_graph(spark, store, empty)
     assert c["files_submitted"] == 0 and c["files_new"] == 0
+
+
+def test_stream_feeds_delta_store(spark, tmp_path, batches):
+    """File-arrival stream -> update_graph per micro-batch.  Wave 2
+    re-ships wave 1's contents under new commits: the stream must add
+    its files to the graph WITHOUT growing the contents ledger (zero
+    kernel work), and a checkpoint restart must change nothing."""
+    from riksdagen_sentences_spark.streaming.incremental import (
+        stream_files_to_delta_store,
+    )
+
+    b1, b2, _ = batches
+    indir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1.repartition(4).write.mode("append").parquet(indir)
+    q = stream_files_to_delta_store(spark, indir, store, ckpt)
+    q.awaitTermination(240)
+    assert _rows(D.assemble_graph(spark, store)) == _rows(
+        P.triples(spark, P.docs_from_files(b1))
+    )
+    n_contents = spark.read.parquet(f"{store}/contents_ledger").count()
+
+    b2.repartition(4).write.mode("append").parquet(indir)
+    q = stream_files_to_delta_store(spark, indir, store, ckpt)
+    q.awaitTermination(240)
+    union = b1.unionByName(b2)
+    assert _rows(D.assemble_graph(spark, store)) == _rows(
+        P.triples(spark, P.docs_from_files(union))
+    )
+    # wave 2 was pure cross-commit reuse: no new contents were hashed
+    assert (
+        spark.read.parquet(f"{store}/contents_ledger").count() == n_contents
+    )
+
+    # restart with the same checkpoint and no new input: no-op
+    before = _rows(D.assemble_graph(spark, store))
+    q = stream_files_to_delta_store(spark, indir, store, ckpt)
+    q.awaitTermination(120)
+    assert _rows(D.assemble_graph(spark, store)) == before

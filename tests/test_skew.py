@@ -264,3 +264,32 @@ def test_packing_range_shuffle_balanced_under_token_skew(spark):
     ]
     assert len(sizes) == 8
     assert max(sizes) <= 2.0 * (sum(sizes) / len(sizes))
+
+
+def test_dedup_expansion_correct_under_hot_content(spark):
+    """Planted skew for the content-addressed build: ONE content (think
+    a license file / empty __init__) is shared by 50% of all files, so
+    the expansion join's mapping side concentrates on a single
+    content_sha.  Correctness must hold exactly (dedup == naive row
+    set), and the runtime mitigation for the scale case - AQE skew-join
+    splitting the hot mapping partition while duplicating the skeleton
+    side - must be armed in the session."""
+    base = files_table(spark, n_rows=40, seed=42)
+    hot_text = base.orderBy("repo", "path", "commit").first()["content"]
+    hot = spark.range(40).select(
+        F.lit("hotrepo").alias("repo"),
+        F.concat(F.lit("dup/"), F.col("id"), F.lit(".txt")).alias("path"),
+        F.lit("c0").alias("commit"),
+        F.lit("text").alias("lang"),
+        F.lit(hot_text).alias("content"),
+    )
+    files = base.unionByName(hot).repartition(16)
+    naive = P.triples(spark, P.docs_from_files(files))
+    dedup = P.triples_dedup(spark, files)
+    assert sorted(map(tuple, dedup.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+    # the designed mitigation at scale: hot mapping partitions are
+    # split at runtime (sha keys are uniform EXCEPT mass-shared
+    # contents, where the output rows are genuinely that many)
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
