@@ -115,6 +115,43 @@ def build_ivf_index(
     return IvfIndex(index_dir, centers, vec_col, id_col)
 
 
+def assign_cells(index: IvfIndex, embeddings: DataFrame) -> DataFrame:
+    """Nearest-center cell assignment under the FROZEN quantizer, as
+    pure column algebra (no MLlib model object, no Python in the hot
+    path): squared L2 to each stored center, ties to the lowest cell id
+    - the same rule MLlib KMeans applies at build time.  Struct
+    ordering does the argmin: array_min over (distance, cell) structs
+    compares distance first, cell second."""
+    vec = _to_double(F.col(index.vec_col))
+    cands = []
+    for i, c in enumerate(index.centers):
+        clit = F.array(*[F.lit(float(x)) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(vec, clit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cands.append(F.struct(d2.alias("d"), F.lit(i).alias("c")))
+    return embeddings.withColumn(
+        "cell", F.array_min(F.array(*cands))["c"]
+    )
+
+
+def append_ivf_index(index: IvfIndex, new_embeddings: DataFrame) -> None:
+    """Incremental index maintenance: assign new vectors to their
+    nearest EXISTING cell and append into the cell-partitioned table -
+    the coarse quantizer is never refit, so prior cell directories stay
+    valid and every past query plan (partition-pruned probe) works
+    unchanged.  This is the production shape for a growing corpus: a
+    daily embedding batch costs one narrow scan + a partitioned append,
+    not a KMeans refit over 100 TB.  Re-cluster deliberately (rebuild
+    under a new index_dir, swap atomically) when drift accumulates -
+    same swap discipline as materialize.compact_canonical."""
+    assign_cells(index, new_embeddings).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(index.path)
+
+
 def probe_cells_for(
     index: IvfIndex, query_vec: list[float], n_probe: int
 ) -> list[int]:

@@ -2483,6 +2483,48 @@ _register(
 )
 
 
+# Incremental index maintenance (round 5): build the IVF index over
+# HALF the corpus, append the other half under the frozen quantizer
+# (similarity.append_ivf_index - no KMeans refit), then full-probe
+# query.  The appended index must reproduce the brute-force top-10 over
+# the WHOLE table exactly - any vector lost, double-written, or
+# mis-assigned by the pure-column-algebra cell assignment breaks the
+# value hash.  Oracle: the same brute-force cosine SQL.
+
+_IVF_APPEND_MEMO: dict = {}
+
+
+def _ivf_append_full_probe(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+
+    emb = _read(spark, sf, "embeddings")
+    key = (spark.sparkContext.applicationId, sf)
+    index = _IVF_APPEND_MEMO.get(key)
+    if index is None:
+        suffix = hashlib.sha256(repr(key).encode()).hexdigest()[:16]
+        index = SIM.build_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0),
+            f"/tmp/ivf_append_{suffix}",
+            n_cells=16,
+        )
+        SIM.append_ivf_index(index, emb.filter(F.col("vec_id") % 2 == 1))
+        _IVF_APPEND_MEMO[key] = index
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return SIM.ivf_query(
+        spark, index, qv, k=10, n_probe=16, exclude_id=0
+    ).select("vec_id", F.col("cosine").cast("double").alias("cosine"))
+
+
+_register(
+    "ivf_append_full_probe_top10",
+    _ivf_append_full_probe,
+    ORACLES["embedding_cosine_top10"],
+)
+
+
 # ---------------------------------------------------------------------------
 # Temporal operators (operators/temporal.py): as-of join and gap-based
 # sessionization - engine extensions the reference corpus has no analog

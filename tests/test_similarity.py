@@ -197,3 +197,50 @@ def test_int8_cosine_preserves_cluster_structure(spark):
     for r in quant:
         assert r["vec_id"] % 8 == 0       # planted cluster of query 0
         assert r["cosine"] >= 0.999
+
+
+def test_assign_cells_matches_mllib_assignment(spark, tmp_path):
+    """The column-algebra argmin (assign_cells) must reproduce MLlib's
+    own build-time cell for every vector - same squared-L2 metric, same
+    lowest-index tie rule."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    index = SIM.build_ivf_index(
+        emb, str(tmp_path / "ivf"), n_cells=8, seed=42
+    )
+    built = {
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(index.path).select(
+            "vec_id", "cell"
+        ).collect()
+    }
+    ours = {
+        r["vec_id"]: r["cell"]
+        for r in SIM.assign_cells(index, emb).select(
+            "vec_id", "cell"
+        ).collect()
+    }
+    assert ours == built
+
+
+def test_append_ivf_index_full_probe_exact(spark, tmp_path):
+    """Build on half the vectors, append the rest under the frozen
+    quantizer: a full-probe query over the appended index must equal
+    the same query over an index built on everything (exact cosine
+    within probed cells is assignment-invariant)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    half = SIM.build_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        str(tmp_path / "ivf_half"), n_cells=8, seed=42,
+    )
+    SIM.append_ivf_index(half, emb.filter(F.col("vec_id") % 2 == 1))
+    full = SIM.build_ivf_index(
+        emb, str(tmp_path / "ivf_full"), n_cells=8, seed=42
+    )
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    a = SIM.ivf_query(spark, half, qv, k=10, n_probe=8, exclude_id=0)
+    b = SIM.ivf_query(spark, full, qv, k=10, n_probe=8, exclude_id=0)
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+    # appended rows really live in the partitioned layout (no shadow
+    # table): every vector is present exactly once
+    n = spark.read.parquet(half.path).count()
+    assert n == emb.count()
