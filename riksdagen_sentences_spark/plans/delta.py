@@ -58,14 +58,25 @@ _EMPTY_SCHEMAS = {
 
 
 def _committed_batches(spark: SparkSession, store_dir: str) -> list[str]:
-    """Batch ids whose commit marker landed.  Bounded by the number of
-    update batches ever applied (one tiny row each), so the driver-side
-    list is safe at any corpus scale."""
+    """Batch ids whose commit marker landed, minus batches any marker
+    ``replaces`` (compaction supersedes its inputs the instant its own
+    marker commits - Iceberg snapshot semantics).  Bounded by the
+    number of update batches ever applied (one tiny row each), so the
+    driver-side list is safe at any corpus scale."""
     try:
-        rows = spark.read.parquet(f"{store_dir}/commits").collect()
+        df = spark.read.option("mergeSchema", "true").parquet(
+            f"{store_dir}/commits"
+        )
+        rows = df.collect()
     except Exception:
         return []
-    return [r["batch"] for r in rows]
+    all_ids = {str(r["batch"]) for r in rows}
+    superseded: set[str] = set()
+    if "replaces" in df.columns:
+        for r in rows:
+            if r["replaces"]:
+                superseded.update(r["replaces"])
+    return sorted(all_ids - superseded)
 
 
 def _read_or_empty(
@@ -112,12 +123,19 @@ def _write_batch(df: DataFrame, store_dir: str, name: str, batch: str) -> None:
 
 
 def _write_commit(
-    spark: SparkSession, store_dir: str, batch: str, n_files: int
+    spark: SparkSession,
+    store_dir: str,
+    batch: str,
+    n_files: int,
+    replaces: list[str] | None = None,
 ) -> None:
     """The batch's commit point: one marker row, written only after
-    every table directory of the batch is fully on disk."""
+    every table directory of the batch is fully on disk.  A compaction
+    marker lists the batch ids it ``replaces``; those become invisible
+    to every reader the instant this marker lands."""
     spark.createDataFrame(
-        [(n_files,)], "files_submitted bigint"
+        [(n_files, replaces or [])],
+        "files_submitted bigint, replaces array<string>",
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{store_dir}/commits/batch={batch}"
     )
@@ -233,3 +251,90 @@ def assemble_graph(spark: SparkSession, store_dir: str) -> DataFrame:
         .unionByName(skel["content_edges"].dropDuplicates(["subj", "pred", "obj"]))
         .unionByName(mentions)
     )
+
+
+_ALL_TABLES = SKEL_TABLES + ("contents_ledger", "files_ledger")
+
+
+def compact_store(spark: SparkSession, store_dir: str) -> int:
+    """Rewrite every visible batch of every table into ONE compaction
+    batch, committed with a marker that ``replaces`` its inputs: after
+    thousands of small update batches the per-read directory listing
+    (and the many-small-files tax) collapses to one generation, while
+    visibility flips atomically at the marker write - readers see the
+    old batches xor the compacted one, never both, never neither.  The
+    old data stays on disk, invisible, until :func:`gc_store`.  The
+    compaction id derives from the replaced set, so a crashed
+    compaction's retry overwrites its own partial directories (same
+    discipline as update batches).  Returns the number of batches
+    folded (0 = nothing to do).
+
+    Safe only alongside readers, like materialize.compact_canonical:
+    run it from the single writer's maintenance window (a concurrent
+    update batch committing between our read and our marker would be
+    absorbed by neither old nor new generation)."""
+    import hashlib
+
+    visible = _committed_batches(spark, store_dir)
+    if len(visible) < 2:
+        return 0
+    compact_id = "compact-" + hashlib.sha256(
+        ",".join(sorted(visible)).encode()
+    ).hexdigest()[:16]
+
+    # clear any partial previous attempt so the source listing below
+    # can never race files the overwrite is about to delete
+    jconf = spark._jsc.hadoopConfiguration()
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    for name in _ALL_TABLES:
+        p = jpath(f"{store_dir}/{name}/batch={compact_id}")
+        fs = p.getFileSystem(jconf)
+        if fs.exists(p):
+            fs.delete(p, True)
+
+    from pyspark.sql import Observation
+
+    n_files = 0
+    for name in _ALL_TABLES:
+        df = _read_or_empty(spark, store_dir, name, visible)
+        if name == "files_ledger":
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        _write_batch(df, store_dir, name, compact_id)
+        if name == "files_ledger":
+            n_files = int(obs.get["n"])
+    _write_commit(spark, store_dir, compact_id, n_files, replaces=visible)
+    return len(visible)
+
+
+def gc_store(spark: SparkSession, store_dir: str) -> int:
+    """Delete the on-disk directories of superseded batches (their
+    data AND their commit markers).  Safe at any time after the
+    superseding marker landed: no reader includes a superseded batch,
+    and a crash mid-delete just leaves the remainder for the next gc
+    (the ``replaces`` lists in live markers keep naming them).
+    Returns the number of directories removed."""
+    try:
+        df = spark.read.option("mergeSchema", "true").parquet(
+            f"{store_dir}/commits"
+        )
+    except Exception:
+        return 0
+    superseded: set[str] = set()
+    if "replaces" in df.columns:
+        for r in df.select("replaces").collect():
+            if r["replaces"]:
+                superseded.update(r["replaces"])
+    if not superseded:
+        return 0
+    jconf = spark._jsc.hadoopConfiguration()
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    removed = 0
+    for b in sorted(superseded):
+        for name in _ALL_TABLES + ("commits",):
+            p = jpath(f"{store_dir}/{name}/batch={b}")
+            fs = p.getFileSystem(jconf)
+            if fs.exists(p):
+                fs.delete(p, True)
+                removed += 1
+    return removed

@@ -108,6 +108,44 @@ def test_empty_batch_noop(spark, tmp_path, batches):
     assert c["files_submitted"] == 0 and c["files_new"] == 0
 
 
+def test_compact_store_preserves_graph_and_gc_reclaims(spark, tmp_path, batches):
+    """Compaction folds all visible batches into one generation behind
+    a replaces-marker: the assembled graph must be identical before the
+    compaction, after it (old dirs still on disk - no double counting),
+    and after gc removes them; updates applied AFTER compaction must
+    still dedup against the compacted ledgers."""
+    b1, b2, b3 = batches
+    store = str(tmp_path / "store")
+    D.update_graph(spark, store, b1)
+    D.update_graph(spark, store, b2)
+    before = _rows(D.assemble_graph(spark, store))
+
+    folded = D.compact_store(spark, store)
+    assert folded == 2
+    assert len(D._committed_batches(spark, store)) == 1
+    # old batch dirs still on disk, but invisible: no double counting
+    assert _rows(D.assemble_graph(spark, store)) == before
+
+    removed = D.gc_store(spark, store)
+    assert removed > 0
+    assert _rows(D.assemble_graph(spark, store)) == before
+    assert D.gc_store(spark, store) == 0  # idempotent
+
+    # post-compaction updates dedup against the compacted ledgers
+    c3 = D.update_graph(spark, store, b3)
+    assert c3["contents_reused"] >= 200 - c3["contents_fresh"]
+    union = b1.unionByName(b2).unionByName(b3)
+    assert _rows(D.assemble_graph(spark, store)) == _rows(
+        P.triples(spark, P.docs_from_files(union))
+    )
+
+    # compact again over {compact, b3}: still identical
+    assert D.compact_store(spark, store) == 2
+    assert _rows(D.assemble_graph(spark, store)) == _rows(
+        P.triples(spark, P.docs_from_files(union))
+    )
+
+
 def test_stream_feeds_delta_store(spark, tmp_path, batches):
     """File-arrival stream -> update_graph per micro-batch.  Wave 2
     re-ships wave 1's contents under new commits: the stream must add
