@@ -366,7 +366,7 @@ def simhash_fingerprints(
     # The md5s + votes are computed in the partial aggregate, which runs
     # on the INPUT partitioning - spread a single-split source first.
     toks = (
-        _spread_input(docs.select("doc_id", F.col(text_col)))
+        _spread_input(docs.select("doc_id", F.col(text_col)), "doc_id")
         .select(
             "doc_id", F.explode(words_col(F.col(text_col))).alias("w")
         )

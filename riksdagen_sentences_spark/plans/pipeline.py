@@ -130,7 +130,8 @@ def sentence_base(
     # per parquet split until the dedup shuffle).  No-op at production
     # split counts; ~35% off the sf0.1 flagship locally.
     sent = sentence_rows(
-        spread_input(docs), use_udf_sentenize=use_udf_sentenize
+        spread_input(docs, "document_id"),
+        use_udf_sentenize=use_udf_sentenize,
     )
     base = (
         sent.withColumn("cleaned", C.clean_sentence_col(F.col("text")))
