@@ -159,3 +159,43 @@ def stratified_sample(
     return docs.filter(
         frac.isNotNull() & sample_keep_col(F.col("doc_id"), frac, salt)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (emails / IPv4 / international phone numbers)
+# ---------------------------------------------------------------------------
+# Standard pre-training scrub (C4/RefinedWeb-style).  Patterns are kept
+# in the Java-regex AND RE2 common subset (character classes, bounded
+# repetition, \b) so the DuckDB oracle twin applies the IDENTICAL
+# expressions; replacement order is fixed (email -> ip -> phone) and
+# deterministic in both engines.  Pure per-row regexp_replace /
+# regexp_count - zero shuffle at any scale.
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+[0-9]{7,15}\b"
+
+_PII_ORDER = (
+    (PII_EMAIL_RE, "<EMAIL>"),
+    (PII_IPV4_RE, "<IP>"),
+    (PII_PHONE_RE, "<PHONE>"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``redacted_text`` plus per-class match counts
+    (``n_emails``, ``n_ips``, ``n_phones``).  Counts are taken on the
+    ORIGINAL text; replacements are applied in the fixed class order,
+    so the output is bit-identical across engines and cluster sizes."""
+    text = F.col(text_col)
+    red = text
+    for pat, token in _PII_ORDER:
+        red = F.regexp_replace(red, pat, token)
+    return docs.withColumns(
+        {
+            "redacted_text": red,
+            "n_emails": F.regexp_count(text, F.lit(PII_EMAIL_RE)),
+            "n_ips": F.regexp_count(text, F.lit(PII_IPV4_RE)),
+            "n_phones": F.regexp_count(text, F.lit(PII_PHONE_RE)),
+        }
+    )

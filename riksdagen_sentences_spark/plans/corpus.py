@@ -3075,6 +3075,97 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# PII redaction (operators/curation.redact_pii)
+# ---------------------------------------------------------------------------
+# The driver corpus is PII-free lorem, so the query PLANTS deterministic
+# PII (emails on doc_id % 7, an IPv4 + an international phone on
+# doc_id % 11 - CASE order fixed, mirrored verbatim in the oracle) and
+# aggregates per-class redaction counts plus the redacted-length delta,
+# which pins the actual replacement text, not just the match counts.
+# Patterns live in the Java-regex/RE2 common subset so both engines
+# apply identical expressions; zero shuffle beyond the final aggregate.
+
+
+def _pii_planted(spark: SparkSession, sf: str) -> DataFrame:
+    d = _read(spark, sf, "documents").select("doc_id", "source", "text")
+    return d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1 at +4670123"),
+                (F.col("doc_id") % 1000).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+
+
+def _pii_redaction_stats(spark: SparkSession, sf: str) -> DataFrame:
+    red = CU.redact_pii(_pii_planted(spark, sf))
+    return red.groupBy("source").agg(
+        F.sum("n_emails").alias("emails"),
+        F.sum("n_ips").alias("ips"),
+        F.sum("n_phones").alias("phones"),
+        F.sum(
+            F.when(
+                F.col("n_emails") + F.col("n_ips") + F.col("n_phones") > 0,
+                1,
+            ).otherwise(0)
+        ).alias("docs_with_pii"),
+        F.sum(
+            F.length("redacted_text") - F.length("text")
+        ).alias("len_delta"),
+    )
+
+
+_PII_PLANT_SQL = (
+    "SELECT doc_id, source, CASE "
+    "WHEN doc_id % 7 = 0 THEN text || ' contact user' || "
+    "CAST(doc_id AS VARCHAR) || '@example.com now' "
+    "WHEN doc_id % 11 = 0 THEN text || ' from 10.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.1 at +4670123' || "
+    "CAST(doc_id % 1000 AS VARCHAR) "
+    "ELSE text END AS text FROM documents"
+)
+
+_register(
+    "pii_redaction_stats",
+    _pii_redaction_stats,
+    "WITH planted AS ("
+    f"{_PII_PLANT_SQL}"
+    "), red AS (SELECT source, "
+    f"len(regexp_extract_all(text, '{CU.PII_EMAIL_RE}')) AS n_emails, "
+    f"len(regexp_extract_all(text, '{CU.PII_IPV4_RE}')) AS n_ips, "
+    f"len(regexp_extract_all(text, '{CU.PII_PHONE_RE}')) AS n_phones, "
+    "length(regexp_replace(regexp_replace(regexp_replace(text, "
+    f"'{CU.PII_EMAIL_RE}', '<EMAIL>', 'g'), "
+    f"'{CU.PII_IPV4_RE}', '<IP>', 'g'), "
+    f"'{CU.PII_PHONE_RE}', '<PHONE>', 'g')) - length(text) AS len_delta "
+    "FROM planted) "
+    "SELECT source, CAST(SUM(n_emails) AS BIGINT) AS emails, "
+    "CAST(SUM(n_ips) AS BIGINT) AS ips, "
+    "CAST(SUM(n_phones) AS BIGINT) AS phones, "
+    "CAST(SUM(CASE WHEN n_emails + n_ips + n_phones > 0 THEN 1 ELSE 0 "
+    "END) AS BIGINT) AS docs_with_pii, "
+    "CAST(SUM(len_delta) AS BIGINT) AS len_delta "
+    "FROM red GROUP BY source",
+)
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing (distributed prefix sum; operators/packing.py)
 # ---------------------------------------------------------------------------
 # Bin stats of contiguous 4096-BPE-token packing over documents in

@@ -212,3 +212,29 @@ def test_sequence_windows_cover_every_token_exactly_once_nonoverlap(spark):
 
     with pytest.raises(ValueError, match="positive"):
         PK.sequence_windows(docs, max_len=0)
+
+
+def test_redact_pii_classes_and_order(spark):
+    from riksdagen_sentences_spark.operators.curation import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-mail.co.uk now"),
+            (2, "server 192.168.0.1 and 10.0.0.255 up"),
+            (3, "call +46701234567 today"),
+            (4, "mixed u@d.io at 8.8.8.8 or +1234567890"),
+            (5, "clean text, no pii at all"),
+            (6, "not an ip 1234.5.6.7890 and no mail at@x"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert rows[1]["redacted_text"] == "mail <EMAIL> now"
+    assert (rows[1]["n_emails"], rows[1]["n_ips"], rows[1]["n_phones"]) == (1, 0, 0)
+    assert rows[2]["redacted_text"] == "server <IP> and <IP> up"
+    assert rows[2]["n_ips"] == 2
+    assert rows[3]["redacted_text"] == "call <PHONE> today"
+    assert rows[4]["redacted_text"] == "mixed <EMAIL> at <IP> or <PHONE>"
+    assert rows[5]["redacted_text"] == rows[5]["text"]
+    # \b guards: digit runs that are not IPs, strings without a TLD
+    assert rows[6]["n_ips"] == 0 and rows[6]["n_emails"] == 0
