@@ -128,17 +128,68 @@ def _write_commit(
     batch: str,
     n_files: int,
     replaces: list[str] | None = None,
+    gaz_sha: str = "",
 ) -> None:
     """The batch's commit point: one marker row, written only after
     every table directory of the batch is fully on disk.  A compaction
     marker lists the batch ids it ``replaces``; those become invisible
-    to every reader the instant this marker lands."""
+    to every reader the instant this marker lands.  ``gaz_sha`` records
+    the dictionary fingerprint the batch's skeletons were computed
+    under (empty for markers that add no skeletons)."""
     spark.createDataFrame(
-        [(n_files, replaces or [])],
-        "files_submitted bigint, replaces array<string>",
+        [(n_files, replaces or [], gaz_sha)],
+        "files_submitted bigint, replaces array<string>, gaz_sha string",
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{store_dir}/commits/batch={batch}"
     )
+
+
+def gazetteer_fingerprint(gazetteer: DataFrame | None) -> str:
+    """Order-independent sha256 of the NER dictionary (gazetteers are
+    broadcast-sized by the matcher's own contract, so the driver-side
+    collect is bounded).  ``update_graph`` pins this across batches:
+    skeletons computed under different dictionaries would disagree with
+    a from-scratch build, silently, only for contents that happened to
+    arrive under the wrong dictionary."""
+    import hashlib
+
+    if gazetteer is None:
+        return "default-dict"
+    rows = sorted(
+        f"{r['label']}\x00{r['ner_label']}"
+        for r in gazetteer.select("label", "ner_label").collect()
+    )
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:32]
+
+
+def _check_gazetteer(
+    spark: SparkSession, store_dir: str, committed: list[str], gaz_sha: str
+) -> None:
+    try:
+        df = spark.read.option("mergeSchema", "true").parquet(
+            f"{store_dir}/commits"
+        )
+    except Exception:
+        return
+    if "gaz_sha" not in df.columns:
+        return
+    seen = {
+        str(r["gaz_sha"])
+        for r in df.filter(
+            F.col("batch").cast("string").isin(committed)
+        )
+        .select("gaz_sha")
+        .collect()
+        if r["gaz_sha"]
+    }
+    if seen and seen != {gaz_sha}:
+        raise ValueError(
+            "gazetteer mismatch: this store's skeletons were built under "
+            f"dictionary {sorted(seen)}, but this batch supplies "
+            f"{gaz_sha!r}; rebuild the store (or pass the original "
+            "dictionary) - mixing dictionaries would silently diverge "
+            "from a from-scratch build"
+        )
 
 
 def update_graph(
@@ -151,14 +202,17 @@ def update_graph(
     files submitted / new / skipped, contents fresh / reused.
 
     The gazetteer (and lexeme dictionary) must be held constant across
-    batches - skeletons computed under different dictionaries would
-    disagree with a from-scratch build.
+    batches; its fingerprint is recorded in every skeleton-bearing
+    commit marker and a mismatching batch raises before touching the
+    store.
     """
     mapping = P.files_mapping(new_files).persist()
     # the batch id hashes the SUBMITTED set, so a retried batch lands
     # on the same directories no matter how far its first attempt got
     batch = _batch_id(mapping)
     committed = _committed_batches(spark, store_dir)
+    gaz_sha = gazetteer_fingerprint(gazetteer)
+    _check_gazetteer(spark, store_dir, committed, gaz_sha)
     if batch in committed:
         n = mapping.count()
         mapping.unpersist()
@@ -218,7 +272,13 @@ def update_graph(
             _write_batch(skel[name], store_dir, name, batch)
     _write_batch(fresh_shas, store_dir, "contents_ledger", batch)
     _write_batch(fresh_files, store_dir, "files_ledger", batch)
-    _write_commit(spark, store_dir, batch, n_files)
+    _write_commit(
+        spark,
+        store_dir,
+        batch,
+        n_files,
+        gaz_sha=gaz_sha if n_fresh_contents > 0 else "",
+    )
 
     mapping.unpersist()
     fresh_files.unpersist()
@@ -282,6 +342,29 @@ def compact_store(spark: SparkSession, store_dir: str) -> int:
         ",".join(sorted(visible)).encode()
     ).hexdigest()[:16]
 
+    # carry the dictionary fingerprint forward: the folded generation
+    # holds the replaced batches' skeletons, so the gazetteer guard
+    # must keep seeing their gaz_sha after the old markers are gc'd
+    gaz = ""
+    try:
+        cdf = spark.read.option("mergeSchema", "true").parquet(
+            f"{store_dir}/commits"
+        )
+        if "gaz_sha" in cdf.columns:
+            seen = {
+                str(r["gaz_sha"])
+                for r in cdf.filter(
+                    F.col("batch").cast("string").isin(visible)
+                )
+                .select("gaz_sha")
+                .collect()
+                if r["gaz_sha"]
+            }
+            if seen:
+                gaz = seen.pop()
+    except Exception:
+        pass
+
     # clear any partial previous attempt so the source listing below
     # can never race files the overwrite is about to delete
     jconf = spark._jsc.hadoopConfiguration()
@@ -303,7 +386,9 @@ def compact_store(spark: SparkSession, store_dir: str) -> int:
         _write_batch(df, store_dir, name, compact_id)
         if name == "files_ledger":
             n_files = int(obs.get["n"])
-    _write_commit(spark, store_dir, compact_id, n_files, replaces=visible)
+    _write_commit(
+        spark, store_dir, compact_id, n_files, replaces=visible, gaz_sha=gaz
+    )
     return len(visible)
 
 

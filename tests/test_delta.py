@@ -146,6 +146,33 @@ def test_compact_store_preserves_graph_and_gc_reclaims(spark, tmp_path, batches)
     )
 
 
+def test_gazetteer_mismatch_raises_and_survives_compaction(spark, tmp_path, batches):
+    """Skeletons are only valid under the dictionary they were computed
+    with: a batch supplying a different gazetteer must raise BEFORE
+    touching the store, and the fingerprint must survive compaction +
+    gc of the original markers."""
+    b1, b2, b3 = batches
+    store = str(tmp_path / "store")
+    D.update_graph(spark, store, b1)  # default dict
+    D.update_graph(spark, store, b2)  # pure reuse: no skeletons, no pin
+
+    other = spark.createDataFrame(
+        [("zzz custom term", "ORG")], "label string, ner_label string"
+    )
+    with pytest.raises(ValueError, match="gazetteer mismatch"):
+        D.update_graph(spark, store, b3, gazetteer=other)
+    # the failed batch left nothing behind
+    assert len(D._committed_batches(spark, store)) == 2
+
+    D.compact_store(spark, store)
+    D.gc_store(spark, store)
+    with pytest.raises(ValueError, match="gazetteer mismatch"):
+        D.update_graph(spark, store, b3, gazetteer=other)
+    # same default dict still applies cleanly
+    c = D.update_graph(spark, store, b3)
+    assert c["files_new"] == 260
+
+
 def test_stream_feeds_delta_store(spark, tmp_path, batches):
     """File-arrival stream -> update_graph per micro-batch.  Wave 2
     re-ships wave 1's contents under new commits: the stream must add
