@@ -199,3 +199,76 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "n_phones": F.regexp_count(text, F.lit(PII_PHONE_RE)),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup with document reassembly
+# ---------------------------------------------------------------------------
+# RefinedWeb/C4-style: boilerplate paragraphs (headers, footers, license
+# blocks) repeat across millions of documents; the FIRST global
+# occurrence keeps the paragraph, every later document drops it and is
+# reassembled from its surviving paragraphs in original order.  Scale
+# shape: one explode (linear in corpus paragraphs), one hash aggregate
+# on the normalized paragraph (map-side combined - the min(struct) is
+# computed per partition before the shuffle), one join back, one
+# reassembly aggregate keyed by doc_id.  No windows, no sorts beyond
+# the per-document array_sort over that document's own paragraphs.
+
+
+def _paragraphs_col(text: Column) -> Column:
+    """Non-empty trimmed segments split on newline runs."""
+    return F.filter(
+        F.transform(F.split(text, r"\n+"), lambda p: F.trim(p)),
+        lambda p: p != "",
+    )
+
+
+def dedup_paragraphs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text_dedup, n_paras, n_kept): keep-first paragraph
+    dedup across the corpus, first occurrence = lowest (doc_id,
+    position).  Paragraph identity is the whitespace-collapsed
+    lower-cased text; reassembly preserves each document's own
+    paragraph order and joins with a single newline.  Documents whose
+    every paragraph was seen earlier come back with ``text_dedup = ''``
+    (callers drop or keep them by policy)."""
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(_paragraphs_col(F.col(text_col))).alias(
+            "pos", "para"
+        ),
+    ).withColumn(
+        "pkey",
+        F.trim(F.regexp_replace(F.lower(F.col("para")), r"\s+", " ")),
+    )
+    first = paras.groupBy("pkey").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    kept = paras.join(first, "pkey").filter(
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("pos") == F.col("first.pos"))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "para"))
+                ),
+                lambda s: s["para"],
+            ),
+            "\n",
+        ).alias("text_dedup"),
+        F.count("*").alias("n_kept"),
+    )
+    sizes = docs.select(
+        "doc_id",
+        F.size(_paragraphs_col(F.col(text_col))).alias("n_paras"),
+    )
+    return (
+        sizes.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            "n_paras",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )

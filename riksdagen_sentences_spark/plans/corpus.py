@@ -3166,6 +3166,74 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Paragraph-level keep-first dedup with document reassembly
+# (operators/curation.dedup_paragraphs)
+# ---------------------------------------------------------------------------
+# The lorem corpus is single-paragraph, so the query PLANTS structure:
+# each doc becomes (own prefix \n shared boilerplate footer \n own
+# slice) - the shared footer survives only in its first global
+# occurrence, everything else reassembles around the gap.  The result
+# rows carry the reassembled text VERBATIM (doc_id % 17 sample), so the
+# value hash pins paragraph identity, keep-first choice, and
+# reassembly order, not just counts.
+
+
+_PARA_SHARED = "all rights reserved boilerplate footer"
+
+
+def _para_planted(spark: SparkSession, sf: str) -> DataFrame:
+    return _read(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 100),
+            F.lit("\n"),
+            F.lit(_PARA_SHARED),
+            F.lit("\n"),
+            F.substring("text", 51, 90),
+        ).alias("text"),
+    )
+
+
+def _paragraph_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    out = CU.dedup_paragraphs(_para_planted(spark, sf))
+    return out.filter(F.col("doc_id") % 17 == 0).select(
+        "doc_id",
+        "text_dedup",
+        F.col("n_paras").cast("bigint").alias("n_paras"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+    )
+
+
+_register(
+    "paragraph_dedup_docs",
+    _paragraph_dedup_docs,
+    "WITH planted AS (SELECT doc_id, "
+    "substr(text, 1, 100) || chr(10) || "
+    f"'{_PARA_SHARED}' || chr(10) || "
+    "substr(text, 51, 90) AS text FROM documents), "
+    "lists AS (SELECT doc_id, "
+    "list_filter(list_transform(string_split_regex(text, '\\n+'), "
+    "x -> trim(x)), x -> x <> '') AS ps FROM planted), "
+    "paras AS (SELECT doc_id, unnest(range(len(ps))) AS pos, "
+    "unnest(ps) AS para FROM lists), "
+    "keyed AS (SELECT doc_id, pos, para, "
+    "trim(regexp_replace(lower(para), '\\s+', ' ', 'g')) AS pkey "
+    "FROM paras), "
+    "kept AS (SELECT doc_id, pos, para FROM (SELECT *, "
+    "row_number() OVER (PARTITION BY pkey ORDER BY doc_id, pos) AS rn "
+    "FROM keyed) WHERE rn = 1), "
+    "rebuilt AS (SELECT doc_id, "
+    "string_agg(para, chr(10) ORDER BY pos) AS text_dedup, "
+    "COUNT(*) AS n_kept FROM kept GROUP BY doc_id) "
+    "SELECT s.doc_id, COALESCE(r.text_dedup, '') AS text_dedup, "
+    "CAST(len(s.ps) AS BIGINT) AS n_paras, "
+    "CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept "
+    "FROM lists s LEFT JOIN rebuilt r USING (doc_id) "
+    "WHERE s.doc_id % 17 = 0",
+)
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing (distributed prefix sum; operators/packing.py)
 # ---------------------------------------------------------------------------
 # Bin stats of contiguous 4096-BPE-token packing over documents in

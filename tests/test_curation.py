@@ -238,3 +238,27 @@ def test_redact_pii_classes_and_order(spark):
     assert rows[5]["redacted_text"] == rows[5]["text"]
     # \b guards: digit runs that are not IPs, strings without a TLD
     assert rows[6]["n_ips"] == 0 and rows[6]["n_emails"] == 0
+
+
+def test_dedup_paragraphs_keep_first_and_reassemble(spark):
+    from riksdagen_sentences_spark.operators.curation import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nshared footer\nbeta"),
+            (2, "gamma\nShared   FOOTER\ndelta"),  # same key, normalized
+            (3, "shared footer"),                   # nothing survives
+            (4, "alpha\nalpha\nepsilon"),           # in-doc repeat + cross-doc
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup_paragraphs(docs).collect()}
+    assert rows[1]["text_dedup"] == "alpha\nshared footer\nbeta"
+    assert (rows[1]["n_paras"], rows[1]["n_kept"]) == (3, 3)
+    # doc 2 loses the footer (doc 1 owns it) but keeps order
+    assert rows[2]["text_dedup"] == "gamma\ndelta"
+    # doc 3 loses everything -> empty text, kept row
+    assert rows[3]["text_dedup"] == "" and rows[3]["n_kept"] == 0
+    # 'alpha' belongs to doc 1; the in-doc repeat dies too
+    assert rows[4]["text_dedup"] == "epsilon"
+    assert (rows[4]["n_paras"], rows[4]["n_kept"]) == (3, 1)
