@@ -240,13 +240,15 @@ def dedup_paragraphs(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "pkey",
         F.trim(F.regexp_replace(F.lower(F.col("para")), r"\s+", " ")),
     )
-    first = paras.groupBy("pkey").agg(
-        F.min(F.struct("doc_id", "pos")).alias("first")
-    )
-    kept = paras.join(first, "pkey").filter(
-        (F.col("doc_id") == F.col("first.doc_id"))
-        & (F.col("pos") == F.col("first.pos"))
-    )
+    # the kept set IS the min aggregate: carrying `para` in the struct
+    # (it never influences the ordering - (doc_id, pos) is unique)
+    # avoids joining every occurrence back against the winners, which
+    # would concentrate a mass-shared boilerplate paragraph's millions
+    # of occurrences onto one join key.  The hot key costs ONE reduced
+    # row here, and the aggregate is map-side combined.
+    kept = paras.groupBy("pkey").agg(
+        F.min(F.struct("doc_id", "pos", "para")).alias("f")
+    ).select("f.doc_id", "f.pos", "f.para")
     rebuilt = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
