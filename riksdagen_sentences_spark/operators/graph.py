@@ -256,3 +256,85 @@ def connected_components_contraction(
     )
     track(nodes)
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """(node, rank) after ``n_iter`` synchronous PageRank iterations
+    over the directed (subj, obj) edge list:
+
+        r_{k+1}(v) = (1 - d)/N  +  d * sum_{u->v} r_k(u) / outdeg(u)
+
+    Dangling mass is DROPPED (nodes without out-edges leak their rank),
+    so ranks sum to < 1 on graphs with sinks - the fixed-point ORDERING
+    is unaffected, and the recurrence stays a pure join+aggregate that
+    any SQL engine reproduces exactly, which is what makes the result
+    oracle-checkable.  Multi-edges contribute multiply (weight =
+    multiplicity); pre-``dropDuplicates`` to get the simple-graph
+    variant.
+
+    Scale shape: one edge⋈outdeg pre-join paid ONCE and persisted, then
+    per iteration exactly one shuffle-join of the (node, rank) frame
+    against the persisted contribution edges plus one hash aggregate on
+    the destination - the canonical distributed PageRank plan.  Hub
+    destinations (entity super-nodes) are map-side combined by the
+    partial aggregate; ``localCheckpoint`` every ``checkpoint_every``
+    rounds cuts the iterative plan growth exactly as in
+    :func:`connected_components`.  The reference consumes its KG only
+    relationally (sql/*.sql); ranking is a graph-native extension.
+    """
+    nodes = (
+        edges.select(F.col("subj").alias("node"))
+        .unionByName(edges.select(F.col("obj").alias("node")))
+        .dropDuplicates(["node"])
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = edges.groupBy(F.col("subj").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    # contribution edges: (src, dst, deg) - the only per-iteration join
+    # input; localCheckpoint severs the (possibly whole-pipeline) edge
+    # lineage so each round's plan stays constant-size.
+    cedges = (
+        edges.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .join(outdeg.withColumnRenamed("node", "src"), "src")
+        .localCheckpoint(eager=True)
+    )
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(n_iter):
+        contribs = (
+            ranks.join(cedges, ranks["node"] == cedges["src"])
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        new_ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
+            # checkpoint blocks survive unpersist(); track() each so the
+            # caller's release_intermediates() frees the whole chain.
+            new = track(new_ranks.localCheckpoint(eager=True))
+        else:
+            new = new_ranks.persist()
+            new.count()
+        ranks.unpersist()
+        ranks = new
+    track(nodes)
+    track(cedges)
+    return ranks.select("node", "rank")

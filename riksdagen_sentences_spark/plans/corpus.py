@@ -3485,6 +3485,80 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# PageRank over the mention graph (operators/graph.pagerank)
+# ---------------------------------------------------------------------------
+# Fixed-iteration synchronous PageRank (dangling mass dropped) on the
+# sentence->entity mention edges; the oracle unrolls the identical
+# recurrence as K chained CTEs, so the hash pins the per-iteration
+# join+aggregate arithmetic itself, not just an ordering.  Both sides
+# round half-up at 4 dp and order by (rounded rank, node).
+
+from ..operators.graph import pagerank  # noqa: E402
+
+_PR_DAMP = 0.85
+_PR_ITER = 3
+
+
+def _mention_pagerank_top20(spark: SparkSession, sf: str) -> DataFrame:
+    edges = P.mention_edges(_sentences(spark, sf)).select("subj", "obj")
+    pr = pagerank(edges, damping=_PR_DAMP, n_iter=_PR_ITER)
+    return (
+        pr.select(
+            "node",
+            (
+                F.floor(F.col("rank") * 10000.0 + F.lit(0.5)) / 10000.0
+            ).alias("pr_rank"),
+        )
+        .orderBy(F.col("pr_rank").desc(), F.col("node").asc())
+        .limit(20)
+    )
+
+
+def _pagerank_sql(n_iter: int, damping: float) -> str:
+    parts = [
+        f"WITH {sentence_ctes()}, ",
+        "edges AS (SELECT subj, obj FROM ("
+        "SELECT DISTINCT s.sentence_id AS subj, "
+        f"{_ENTITY_ID_SQL} AS obj "
+        f"FROM sentences s, {gazetteer_values()} "
+        "WHERE contains(' ' || lower(s.cleaned) || ' ', "
+        "' ' || g.label || ' '))), ",
+        "nodes AS (SELECT subj AS node FROM edges "
+        "UNION SELECT obj FROM edges), ",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), ",
+        "od AS (SELECT subj AS node, COUNT(*) AS deg FROM edges "
+        "GROUP BY subj), ",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes), ",
+    ]
+    base = f"(1.0 - {damping}) / (SELECT n FROM nn)"
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f"c{k} AS (SELECT e.obj AS node, SUM(p.r / od.deg) AS s "
+            f"FROM r{k - 1} p JOIN edges e ON p.node = e.subj "
+            "JOIN od ON od.node = p.node GROUP BY e.obj), "
+        )
+        parts.append(
+            f"r{k} AS (SELECT n.node, {base} + {damping} * "
+            f"COALESCE(c.s, 0.0) AS r FROM nodes n "
+            f"LEFT JOIN c{k} c ON n.node = c.node), "
+        )
+    parts.append(
+        "rr AS (SELECT node, floor(r * 10000.0 + 0.5) / 10000.0 "
+        f"AS pr_rank FROM r{n_iter}) "
+        "SELECT node, pr_rank FROM rr "
+        "ORDER BY pr_rank DESC, node ASC LIMIT 20"
+    )
+    return "".join(parts)
+
+
+_register(
+    "mention_pagerank_top20",
+    _mention_pagerank_top20,
+    _pagerank_sql(_PR_ITER, _PR_DAMP),
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 entries of

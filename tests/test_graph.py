@@ -204,3 +204,66 @@ def test_release_intermediates_frees_checkpoint_blocks(spark):
     track(df)
     assert release_intermediates() == 1
     assert jsc.getPersistentRDDs().size() < n_before
+
+
+def _pagerank_py(edges, damping=0.85, n_iter=3):
+    """Reference NumPy-free PageRank, dangling mass dropped."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    outdeg = {}
+    for a, _ in edges:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        contrib = {v: 0.0 for v in nodes}
+        for a, b in edges:
+            contrib[b] += r[a] / outdeg[a]
+        r = {
+            v: (1.0 - damping) / n + damping * contrib[v] for v in nodes
+        }
+    return r
+
+
+def test_pagerank_matches_reference_loop(spark):
+    from riksdagen_sentences_spark.operators.graph import pagerank
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"),                      # d is a source
+        ("c", "e"),                      # e is a sink (dangling)
+    ]
+    df = spark.createDataFrame(edges, "subj string, obj string")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, damping=0.85, n_iter=4).collect()
+    }
+    exp = _pagerank_py(edges, damping=0.85, n_iter=4)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-12, (v, got[v], exp[v])
+    # hub 'c' (3 in-edges) must outrank everything
+    assert max(exp, key=exp.get) == "c"
+    # dangling mass dropped: total rank strictly below 1
+    assert sum(got.values()) < 1.0
+
+
+def test_pagerank_multi_edge_weighting(spark):
+    from riksdagen_sentences_spark.operators.graph import pagerank
+
+    # a->b twice: b receives 2/3 of a's rank, c receives 1/3
+    edges = [("a", "b"), ("a", "b"), ("a", "c")]
+    df = spark.createDataFrame(edges, "subj string, obj string")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, damping=0.85, n_iter=1).collect()
+    }
+    exp = _pagerank_py(edges, damping=0.85, n_iter=1)
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-12
+
+
+def test_pagerank_empty_edges(spark):
+    from riksdagen_sentences_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([], "subj string, obj string")
+    assert pagerank(df, n_iter=2).count() == 0
