@@ -3559,6 +3559,47 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Streaming dedup state contract through a REAL micro-batch stream
+# ---------------------------------------------------------------------------
+# dropDuplicatesWithinWatermark replayed over planted duplicates
+# (streaming/incremental.replay_dedup_events): shifted-ts re-deliveries
+# must be swallowed by the state store (all-column dropDuplicates would
+# keep them), and the earliest event's re-arrival after state eviction
+# must be emitted AGAIN (key-only dropDuplicates could never show the
+# id twice).  The oracle is therefore every original event row plus
+# exactly that one re-arrival.
+
+from ..streaming.incremental import replay_dedup_events  # noqa: E402
+
+_STREAM_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    out = replay_dedup_events(spark, _read(spark, sf, "events"))
+    return out.select(
+        "event_id",
+        F.date_format("ts", _STREAM_TS_FMT).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+_register(
+    "streaming_dedup_within_watermark",
+    _streaming_dedup,
+    "SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, "
+    "user_id, event_type, value, props FROM events "
+    "UNION ALL "
+    "SELECT event_id, strftime((SELECT MAX(ts) FROM events) + "
+    "INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S.%f') AS ts, "
+    "user_id, event_type, value, props "
+    "FROM (SELECT * FROM events ORDER BY ts, event_id LIMIT 1)",
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 entries of

@@ -401,3 +401,83 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def replay_dedup_events(
+    spark: SparkSession,
+    events: DataFrame,
+    delay: str = "2 days",
+    n_slices: int = 3,
+    dup_mod: int = 37,
+) -> DataFrame:
+    """Drive ``dropDuplicatesWithinWatermark`` through a REAL
+    micro-batch stream and return the emitted rows - proving BOTH sides
+    of the state contract no batch twin can show:
+
+    - suppression: every slice re-delivers its ``event_id % dup_mod``
+      rows a minute later (same id, SHIFTED ts - a naive all-column
+      dropDuplicates would keep them); the state store must swallow
+      each one, so they appear zero times in the output;
+    - eviction: the globally earliest event re-arrives LAST with a
+      fresh timestamp (max ts + 1 h).  By then the watermark sits at
+      ~(max ts - delay), far past the first arrival's ts + delay, so
+      its state entry MUST have been evicted and the re-arrival is
+      emitted AGAIN - the output carries that event_id twice, which
+      ``dropDuplicates([key])`` could never produce.
+
+    Output = every original event row + the one re-arrival row, which
+    is exactly the SQL oracle of ``streaming_dedup_within_watermark``.
+    Requires an input whose event time span exceeds 2x ``delay`` and
+    unique ``event_id`` (the driver events table satisfies both).
+    Fixture-scale harness by design (coalesce(1) slices); production
+    runs the same two operators on a live source.
+    """
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="sgraft_dedupreplay_")
+    try:
+        return _replay_dedup_events(
+            spark, events, delay, n_slices, dup_mod, work
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _replay_dedup_events(
+    spark, events, delay, n_slices, dup_mod, work
+) -> DataFrame:
+    import datetime
+    import os
+
+    from pyspark.sql.window import Window
+
+    os.makedirs(os.path.join(work, "in"))
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    order = Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ranked = events.withColumn("__rn", F.row_number().over(order))
+    sliced = ranked.withColumn("__slice", F.ntile(n_slices).over(order))
+    for k in range(1, n_slices + 1):
+        body = sliced.filter(F.col("__slice") == k).drop(
+            "__rn", "__slice"
+        )
+        dupes = body.filter(F.col("event_id") % dup_mod == 0).withColumn(
+            "ts", F.col("ts") + F.expr("INTERVAL 1 MINUTE")
+        )
+        _stage_slice(body.unionByName(dupes), work, k)
+    max_ts = events.agg(F.max("ts")).first()[0]
+    revisit = (
+        ranked.filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn(
+            "ts", F.lit(max_ts + datetime.timedelta(hours=1))
+        )
+    )
+    _stage_slice(revisit, work, n_slices + 1)
+    return _drain_append_stream(
+        spark,
+        work,
+        events.schema,
+        lambda stream: stream.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["event_id"]),
+    )

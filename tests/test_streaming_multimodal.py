@@ -223,3 +223,43 @@ def test_watermark_drops_late_rows_in_real_stream(spark):
         )
     )
     assert got != full  # the late rows really were discarded
+
+
+def test_dedup_within_watermark_suppresses_and_evicts(spark):
+    """replay_dedup_events must show BOTH halves of the state contract:
+    planted shifted-ts duplicates vanish (all-column dropDuplicates
+    would keep them) and the earliest key's post-eviction re-arrival is
+    emitted twice (key-only dropDuplicates would never show that), so
+    neither naive batch twin can reproduce the output."""
+    import datetime
+
+    from riksdagen_sentences_spark.streaming.incremental import (
+        replay_dedup_events,
+    )
+
+    base = datetime.datetime(2024, 3, 1)
+    # 300 events spaced 1 h apart -> span 300 h >> 2 x delay (2 days)
+    rows = [
+        (i, base + datetime.timedelta(hours=i), i % 7,
+         ["view", "purchase"][i % 2], float(i), "{}")
+        for i in range(300)
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    out = replay_dedup_events(
+        spark, events, delay="2 days", n_slices=3, dup_mod=37
+    ).collect()
+    ids = [r["event_id"] for r in out]
+    # every original id exactly once, EXCEPT id 0 (the earliest event)
+    # which the post-eviction re-arrival emits a second time
+    assert sorted(ids) == [0] + sorted(range(300))
+    # the re-arrival carries the fresh timestamp, not the original
+    ts0 = sorted(r["ts"] for r in out if r["event_id"] == 0)
+    assert ts0[0] == base
+    assert ts0[1] == base + datetime.timedelta(hours=299 + 1)
+    # shifted-ts duplicates were suppressed: no row carries a +1 minute
+    # timestamp (rows are on exact hours; dupes were planted at +1 min)
+    assert all(r["ts"].minute == 0 for r in out if r["event_id"] != 0)
