@@ -338,3 +338,154 @@ def pagerank(
     track(nodes)
     track(cedges)
     return ranks.select("node", "rank")
+
+
+def cooccurrence_pairs(
+    edges: DataFrame, group_col: str = "subj", item_col: str = "obj"
+) -> DataFrame:
+    """(a, b, n) - unordered item pairs sharing a group, counted over
+    groups: the co-mention graph builder (entities co-mentioned in a
+    sentence, repos sharing a path, ...).
+
+    Scale shape: the self-join explodes quadratically only WITHIN a
+    group (per-sentence entity sets are small and bounded by the
+    matcher); the pair aggregate is a map-side-combined hash groupBy.
+    A pathological hot group (one sentence mentioning thousands of
+    entities) is the caller's signal to cap or sample that group - the
+    quadratic blowup is semantic, not a plan artifact."""
+    base = (
+        edges.select(
+            F.col(group_col).alias("g"), F.col(item_col).alias("a")
+        )
+        .dropDuplicates(["g", "a"])
+    )
+    other = base.select("g", F.col("a").alias("b"))
+    return (
+        base.join(other, "g")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cooccurrence_pmi(
+    edges: DataFrame, group_col: str = "subj", item_col: str = "obj"
+) -> DataFrame:
+    """(a, b, n_ab, n_a, n_b, pmi): pointwise mutual information of
+    co-occurring items over the group universe,
+
+        pmi(a, b) = ln( n_ab * N / (n_a * n_b) )
+
+    with N = number of distinct groups carrying at least one item.
+    Positive pmi = the pair co-occurs more than its marginals predict -
+    the standard edge weight for KG co-mention graphs.  Marginals are
+    one hash aggregate each and join the (much smaller) pair table;
+    N rides in as a literal-free scalar via a 1-row cross join so the
+    whole plan stays a single declarative tree."""
+    pairs = cooccurrence_pairs(edges, group_col, item_col).withColumnRenamed(
+        "n", "n_ab"
+    )
+    base = edges.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("i")
+    ).dropDuplicates(["g", "i"])
+    marg = base.groupBy("i").agg(F.count("*").alias("m"))
+    # Spark resolves column names case-insensitively by default, so the
+    # scalar cannot be called "N" next to the pair count "n".
+    n_groups = base.select("g").dropDuplicates().agg(
+        F.count("*").cast("double").alias("n_groups")
+    )
+    return (
+        pairs.join(marg.select(F.col("i").alias("a"),
+                               F.col("m").alias("n_a")), "a")
+        .join(marg.select(F.col("i").alias("b"),
+                          F.col("m").alias("n_b")), "b")
+        .crossJoin(n_groups)
+        .select(
+            "a", "b", "n_ab", "n_a", "n_b",
+            F.log(
+                F.col("n_ab") * F.col("n_groups")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("pmi"),
+        )
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """1-row (n_triangles) over an undirected simple graph given as
+    (subj, obj) pairs (direction and duplicates ignored).
+
+    Canonicalize to a < b once, then the classic two-join plan: wedges
+    (a<b<c) from e(a,b) x e(b,c), closed by a left-semi probe against
+    e(a,c).  Both joins shuffle on a single node key; no node ever sees
+    more than its own adjacency squared (the standard distributed
+    triangle enumeration bound).  Left-semi keeps the probe side from
+    materializing payload columns."""
+    e = (
+        edges.select(
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .persist()
+    )
+    wedges = e.select(F.col("a").alias("wa"), F.col("b").alias("wb")).join(
+        e.select(F.col("a").alias("wb"), F.col("b").alias("wc")), "wb"
+    )
+    closed = wedges.join(
+        e,
+        (wedges["wa"] == e["a"]) & (wedges["wc"] == e["b"]),
+        "left_semi",
+    )
+    track(e)
+    return closed.agg(F.count("*").cast("bigint").alias("n_triangles"))
+
+
+def bfs_depths(
+    edges: DataFrame, source_df: DataFrame, max_depth: int = 10
+) -> DataFrame:
+    """(node, depth) - unweighted shortest-path depth from the source
+    node(s) over the undirected (subj, obj) graph, capped at
+    ``max_depth`` (unreached nodes are absent).
+
+    ``source_df`` is a 1-column (node) DataFrame so the source can be
+    chosen by a query (e.g. the max-degree hub) without collecting it.
+    Frontier expansion: each round joins the CURRENT frontier (not the
+    whole visited set) against the symmetric edge list, anti-joins the
+    visited set, and unions the survivors in at depth+1 - the textbook
+    distributed BFS; rounds = eccentricity <= max_depth, each one
+    shuffle on node id.  Lineage cut per round via localCheckpoint
+    exactly as the other iterative operators."""
+    sym = (
+        edges.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+        .unionByName(
+            edges.select(F.col("obj").alias("u"), F.col("subj").alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+        .persist()
+    )
+    visited = track(
+        source_df.select(F.col("node"))
+        .dropDuplicates(["node"])
+        .withColumn("depth", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select(F.col("v").alias("node"))
+            .dropDuplicates(["node"])
+            .join(visited, "node", "left_anti")
+            .withColumn("depth", F.lit(d))
+        )
+        nxt = track(nxt.localCheckpoint(eager=True))
+        if nxt.limit(1).count() == 0:
+            break
+        visited = track(
+            visited.unionByName(nxt).localCheckpoint(eager=True)
+        )
+        frontier = nxt
+    track(sym)
+    return visited

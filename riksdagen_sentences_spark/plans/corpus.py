@@ -3600,6 +3600,153 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Co-mention graph analytics (operators/graph.cooccurrence_* / triangle
+# / bfs_depths)
+# ---------------------------------------------------------------------------
+# The entity co-occurrence graph: entities sharing a sentence become an
+# undirected (a < b) edge, counted over sentences.  PMI weights the
+# edges against the marginals; triangle count and BFS depths are the
+# two classic whole-graph probes a KG consumer runs on it.  All four
+# oracles rebuild the mention edges from first principles (the same
+# contains() CTE the pagerank oracle uses), so the hash pins the
+# matcher AND the graph algebra.
+
+from ..operators.graph import (  # noqa: E402
+    bfs_depths,
+    cooccurrence_pairs,
+    cooccurrence_pmi,
+    triangle_count,
+)
+
+
+def _mention_edge_frame(spark: SparkSession, sf: str) -> DataFrame:
+    return P.mention_edges(_sentences(spark, sf)).select("subj", "obj")
+
+
+_COOC_CTES = (
+    "cedges AS (SELECT DISTINCT s.sentence_id AS gid, "
+    f"{_ENTITY_ID_SQL} AS item "
+    f"FROM sentences s, {gazetteer_values()} "
+    "WHERE contains(' ' || lower(s.cleaned) || ' ', "
+    "' ' || g.label || ' ')), "
+    "pairs AS (SELECT x.item AS a, y.item AS b, COUNT(*) AS n_ab "
+    "FROM cedges x JOIN cedges y ON x.gid = y.gid AND x.item < y.item "
+    "GROUP BY x.item, y.item)"
+)
+
+
+def _entity_cooc_top20(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = cooccurrence_pairs(_mention_edge_frame(spark, sf))
+    return (
+        pairs.select("a", "b", F.col("n").alias("n_ab"))
+        .orderBy(F.col("n_ab").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(20)
+    )
+
+
+_register(
+    "entity_cooccurrence_top20",
+    _entity_cooc_top20,
+    f"WITH {sentence_ctes()}, {_COOC_CTES} "
+    "SELECT a, b, n_ab FROM pairs ORDER BY n_ab DESC, a ASC, b ASC "
+    "LIMIT 20",
+)
+
+
+def _entity_cooc_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    pmi = cooccurrence_pmi(_mention_edge_frame(spark, sf))
+    return (
+        pmi.select(
+            "a", "b",
+            F.col("n_ab"),
+            "n_a", "n_b",
+            (
+                F.floor(F.col("pmi") * 10000.0 + F.lit(0.5)) / 10000.0
+            ).alias("pmi_r"),
+        )
+        .orderBy(F.col("pmi_r").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(20)
+    )
+
+
+_register(
+    "entity_cooccurrence_pmi_top20",
+    _entity_cooc_pmi,
+    f"WITH {sentence_ctes()}, {_COOC_CTES}, "
+    "marg AS (SELECT item, COUNT(*) AS m FROM cedges GROUP BY item), "
+    "nn AS (SELECT CAST(COUNT(DISTINCT gid) AS DOUBLE) AS n FROM cedges) "
+    "SELECT p.a, p.b, p.n_ab, ma.m AS n_a, mb.m AS n_b, "
+    "floor(ln(p.n_ab * (SELECT n FROM nn) / (ma.m * mb.m)) "
+    "* 10000.0 + 0.5) / 10000.0 AS pmi_r "
+    "FROM pairs p "
+    "JOIN marg ma ON ma.item = p.a JOIN marg mb ON mb.item = p.b "
+    "ORDER BY pmi_r DESC, a ASC, b ASC LIMIT 20",
+)
+
+
+def _entity_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = cooccurrence_pairs(_mention_edge_frame(spark, sf))
+    return triangle_count(
+        pairs.select(F.col("a").alias("subj"), F.col("b").alias("obj"))
+    )
+
+
+_register(
+    "entity_triangle_count",
+    _entity_triangles,
+    f"WITH {sentence_ctes()}, {_COOC_CTES} "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles "
+    "FROM pairs e1 "
+    "JOIN pairs e2 ON e1.b = e2.a "
+    "JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b",
+)
+
+
+_BFS_MAX_DEPTH = 3
+
+
+def _entity_bfs(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = cooccurrence_pairs(_mention_edge_frame(spark, sf))
+    edges = pairs.select(
+        F.col("a").alias("subj"), F.col("b").alias("obj")
+    )
+    deg = (
+        edges.select(F.col("subj").alias("node"))
+        .unionByName(edges.select(F.col("obj").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    src = (
+        deg.orderBy(F.col("d").desc(), F.col("node").asc())
+        .limit(1)
+        .select("node")
+    )
+    out = bfs_depths(edges, src, max_depth=_BFS_MAX_DEPTH)
+    return (
+        out.select("node", F.col("depth").cast("int").alias("depth"))
+        .orderBy(F.col("depth").asc(), F.col("node").asc())
+    )
+
+
+_register(
+    "entity_bfs_depths",
+    _entity_bfs,
+    f"WITH RECURSIVE {sentence_ctes()}, {_COOC_CTES}, "
+    "sym AS (SELECT a AS u, b AS v FROM pairs "
+    "UNION ALL SELECT b, a FROM pairs), "
+    "deg AS (SELECT u AS node, COUNT(*) AS d FROM sym GROUP BY u), "
+    "src AS (SELECT node FROM deg ORDER BY d DESC, node ASC LIMIT 1), "
+    "walk(node, depth) AS ("
+    "SELECT node, 0 FROM src "
+    "UNION ALL "
+    "SELECT s.v, w.depth + 1 FROM walk w JOIN sym s ON w.node = s.u "
+    f"WHERE w.depth < {_BFS_MAX_DEPTH}) "
+    "SELECT node, CAST(MIN(depth) AS INT) AS depth FROM walk "
+    "GROUP BY node ORDER BY depth ASC, node ASC",
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 entries of

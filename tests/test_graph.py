@@ -267,3 +267,93 @@ def test_pagerank_empty_edges(spark):
 
     df = spark.createDataFrame([], "subj string, obj string")
     assert pagerank(df, n_iter=2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Co-occurrence graph, triangles, BFS
+# ---------------------------------------------------------------------------
+
+def _cooc_edges(spark):
+    # groups: g1={a,b,c}, g2={a,b}, g3={b,c,d}, g4={d} (singleton)
+    rows = [
+        ("g1", "a"), ("g1", "b"), ("g1", "c"), ("g1", "a"),  # dup ignored
+        ("g2", "a"), ("g2", "b"),
+        ("g3", "b"), ("g3", "c"), ("g3", "d"),
+        ("g4", "d"),
+    ]
+    return spark.createDataFrame(rows, "subj string, obj string")
+
+
+def test_cooccurrence_pairs_counts(spark):
+    from riksdagen_sentences_spark.operators.graph import cooccurrence_pairs
+
+    got = {
+        (r["a"], r["b"]): r["n"]
+        for r in cooccurrence_pairs(_cooc_edges(spark)).collect()
+    }
+    assert got == {
+        ("a", "b"): 2,           # g1, g2
+        ("a", "c"): 1,           # g1
+        ("b", "c"): 2,           # g1, g3
+        ("b", "d"): 1, ("c", "d"): 1,  # g3
+    }
+
+
+def test_cooccurrence_pmi_matches_formula(spark):
+    import math
+
+    from riksdagen_sentences_spark.operators.graph import cooccurrence_pmi
+
+    rows = {
+        (r["a"], r["b"]): r
+        for r in cooccurrence_pmi(_cooc_edges(spark)).collect()
+    }
+    # marginals over dedup'd (group, item): a=2, b=3, c=2, d=2; N=4 groups
+    marg = {"a": 2, "b": 3, "c": 2, "d": 2}
+    n_ab = {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 2,
+            ("b", "d"): 1, ("c", "d"): 1}
+    assert set(rows) == set(n_ab)
+    for (a, b), r in rows.items():
+        assert (r["n_ab"], r["n_a"], r["n_b"]) == (
+            n_ab[(a, b)], marg[a], marg[b]
+        )
+        exp = math.log(n_ab[(a, b)] * 4.0 / (marg[a] * marg[b]))
+        assert abs(r["pmi"] - exp) < 1e-12, (a, b, r["pmi"], exp)
+
+
+def test_triangle_count_known_graphs(spark):
+    from riksdagen_sentences_spark.operators.graph import triangle_count
+
+    # K4 has 4 triangles; direction/duplicates/self-loops must not matter
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a != b]
+    k4 += [("a", "a"), ("b", "a")]  # self loop + duplicate reversed edge
+    df = spark.createDataFrame(k4, "subj string, obj string")
+    assert triangle_count(df).collect()[0]["n_triangles"] == 4
+
+    # a path graph has none
+    path = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "subj string, obj string"
+    )
+    assert triangle_count(path).collect()[0]["n_triangles"] == 0
+
+
+def test_bfs_depths_path_cycle_and_cap(spark):
+    from riksdagen_sentences_spark.operators.graph import bfs_depths
+
+    # a-b-c-d-e chain with a shortcut a-d, plus isolated pair x-y
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "d"),
+         ("x", "y")],
+        "subj string, obj string",
+    )
+    src = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["depth"]
+           for r in bfs_depths(edges, src, max_depth=10).collect()}
+    # shortest paths respect the a-d shortcut; x/y unreachable
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 1, "e": 2}
+
+    # depth cap: from 'e', depth 1 only reaches d
+    src_e = spark.createDataFrame([("e",)], "node string")
+    capped = {r["node"]: r["depth"]
+              for r in bfs_depths(edges, src_e, max_depth=1).collect()}
+    assert capped == {"e": 0, "d": 1}
