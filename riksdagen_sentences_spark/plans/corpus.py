@@ -3747,6 +3747,116 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# IR ranking / LM statistics (operators/ranking)
+# ---------------------------------------------------------------------------
+# TF-IDF, Okapi BM25 and bigram conditional probabilities over the raw
+# documents table.  Scores are rounded half-up at 4 dp with the
+# engine-portable floor closed form BEFORE any ranking, so window
+# orderings agree between Spark and DuckDB; every remaining tie is
+# broken by a unique string/int key.
+
+from ..operators.ranking import (  # noqa: E402
+    bigram_counts,
+    bm25_scores,
+    tfidf_top_terms,
+)
+
+_TOK_CTES = (
+    "tok AS (SELECT doc_id AS doc, "
+    "unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term, "
+    "unnest(range(0, len(string_split_regex(lower(text), "
+    "'[^a-z0-9]+')))) AS idx "
+    "FROM documents), "
+    "t2 AS (SELECT * FROM tok WHERE term <> '')"
+)
+
+
+def _tfidf_top3(spark: SparkSession, sf: str) -> DataFrame:
+    out = tfidf_top_terms(_read(spark, sf, "documents"), k=3)
+    return out.orderBy(F.col("doc").asc(), F.col("rnk").asc())
+
+
+_register(
+    "tfidf_top3_per_doc",
+    _tfidf_top3,
+    f"WITH {_TOK_CTES}, "
+    "tf AS (SELECT doc, term, COUNT(*) AS tf FROM t2 "
+    "GROUP BY doc, term), "
+    "dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+    "nn AS (SELECT CAST(COUNT(DISTINCT doc) AS DOUBLE) AS n_docs "
+    "FROM tf), "
+    "sc AS (SELECT tf.doc, tf.term, tf.tf, "
+    "floor(tf.tf * ln((SELECT n_docs FROM nn) / dfq.df) "
+    "* 10000.0 + 0.5) / 10000.0 AS score_r "
+    "FROM tf JOIN dfq USING (term)), "
+    "rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc "
+    "ORDER BY score_r DESC, term ASC) AS INT) AS rnk FROM sc) "
+    "SELECT doc, term, tf, score_r, rnk FROM rk WHERE rnk <= 3 "
+    "ORDER BY doc ASC, rnk ASC",
+)
+
+
+_BM25_TERMS = ("hash", "join", "spark")
+
+
+def _bm25_top20(spark: SparkSession, sf: str) -> DataFrame:
+    out = bm25_scores(_read(spark, sf, "documents"), _BM25_TERMS)
+    return (
+        out.orderBy(F.col("score_r").desc(), F.col("doc").asc())
+        .limit(20)
+    )
+
+
+_register(
+    "bm25_top20",
+    _bm25_top20,
+    f"WITH {_TOK_CTES}, "
+    "lens AS (SELECT doc, COUNT(*) AS dl FROM t2 GROUP BY doc), "
+    "ad AS (SELECT AVG(CAST(dl AS DOUBLE)) AS avgdl FROM lens), "
+    "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM lens), "
+    "tf AS (SELECT doc, term, COUNT(*) AS tf FROM t2 "
+    f"WHERE term IN {str(tuple(_BM25_TERMS))} GROUP BY doc, term), "
+    "dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+    "prt AS (SELECT tf.doc, "
+    "ln(((SELECT n_docs FROM nn) - dfq.df + 0.5) / (dfq.df + 0.5) "
+    "+ 1.0) * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 "
+    "+ 0.75 * lens.dl / (SELECT avgdl FROM ad))) AS s "
+    "FROM tf JOIN dfq USING (term) JOIN lens USING (doc)) "
+    "SELECT doc, floor(SUM(s) * 10000.0 + 0.5) / 10000.0 AS score_r "
+    "FROM prt GROUP BY doc "
+    "ORDER BY score_r DESC, doc ASC LIMIT 20",
+)
+
+
+def _bigram_top20(spark: SparkSession, sf: str) -> DataFrame:
+    out = bigram_counts(_read(spark, sf, "documents"))
+    return (
+        out.orderBy(
+            F.col("n").desc(), F.col("w1").asc(), F.col("w2").asc()
+        )
+        .limit(20)
+    )
+
+
+_register(
+    "bigram_conditional_top20",
+    _bigram_top20,
+    f"WITH {_TOK_CTES}, "
+    "big AS (SELECT term AS w1, lead(term) OVER (PARTITION BY doc "
+    "ORDER BY idx) AS w2 FROM t2), "
+    "bc AS (SELECT w1, w2, COUNT(*) AS n FROM big "
+    "WHERE w2 IS NOT NULL GROUP BY w1, w2), "
+    "mg AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS c1 FROM bc "
+    "GROUP BY w1) "
+    "SELECT bc.w1, bc.w2, bc.n, mg.c1, "
+    "floor(CAST(bc.n AS DOUBLE) / mg.c1 * 10000.0 + 0.5) / 10000.0 "
+    "AS p_r "
+    "FROM bc JOIN mg USING (w1) "
+    "ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 20",
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 entries of
