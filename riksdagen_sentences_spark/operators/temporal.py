@@ -92,6 +92,26 @@ def asof_join(
     )
 
 
+def ntz_micros(c: F.Column) -> F.Column:
+    """Exact integer microseconds since epoch of a (possibly NTZ)
+    timestamp, zone-free - NOT via cast('timestamp') + unix_micros,
+    whose session-zone shift does NOT cancel in differences when the
+    zone observes DST (two wall-clock times straddling a transition get
+    different offsets).  unix_date/hour/minute/date_part('SECOND') on
+    TIMESTAMP_NTZ are zone-free, and date_part SECOND is a DECIMAL
+    carrying the full microsecond fraction, so this equals DuckDB's
+    epoch_us(naive) exactly (a double-seconds variant could flip
+    comparisons at sub-microsecond rounding)."""
+    ntz = c.cast("timestamp_ntz")
+    return (
+        F.unix_date(ntz.cast("date")).cast("bigint")
+        * F.lit(86_400_000_000)
+        + F.hour(ntz).cast("bigint") * F.lit(3_600_000_000)
+        + F.minute(ntz).cast("bigint") * F.lit(60_000_000)
+        + (F.date_part(F.lit("SECOND"), ntz) * 1_000_000).cast("bigint")
+    )
+
+
 def sessionize(
     events: DataFrame,
     key: str,
@@ -104,32 +124,10 @@ def sessionize(
     windows reuse the same partitioning."""
     w = Window.partitionBy(key).orderBy(F.col(ts).asc())
     prev_ts = F.lag(F.col(ts)).over(w)
-    # exact integer microseconds (a double-seconds diff can flip the
-    # comparison at sub-microsecond rounding; DuckDB twin: epoch_us).
-    # Computed arithmetically from the NTZ field values - NOT via
-    # cast('timestamp') + unix_micros, whose session-zone shift does NOT
-    # cancel in the difference when the zone observes DST (two
-    # wall-clock times straddling a transition get different offsets,
-    # shifting the gap by the transition amount).  unix_date/hour/
-    # minute/date_part('SECOND') on TIMESTAMP_NTZ are zone-free, and
-    # date_part SECOND is a DECIMAL carrying the full microsecond
-    # fraction, so this equals DuckDB's epoch_us(naive) exactly.
-    def _us(c: F.Column) -> F.Column:
-        ntz = c.cast("timestamp_ntz")
-        return (
-            F.unix_date(ntz.cast("date")).cast("bigint")
-            * F.lit(86_400_000_000)
-            + F.hour(ntz).cast("bigint") * F.lit(3_600_000_000)
-            + F.minute(ntz).cast("bigint") * F.lit(60_000_000)
-            + (F.date_part(F.lit("SECOND"), ntz) * 1_000_000).cast(
-                "bigint"
-            )
-        )
-
     is_new = F.when(
         prev_ts.isNull()
         | (
-            _us(F.col(ts)) - _us(prev_ts)
+            ntz_micros(F.col(ts)) - ntz_micros(prev_ts)
             > int(gap_seconds) * 1_000_000
         ),
         1,
@@ -140,4 +138,88 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, 0)
         )
         - 1,
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """1-row (step_1, step_2, ...): how many users completed each
+    ordered funnel prefix - a user counts for step k if their earliest
+    qualifying step-k event is STRICTLY after their earliest qualifying
+    step-(k-1) event.
+
+    Each stage is one filtered groupBy(user) + an equi-join on user with
+    the previous stage's (user, ts) frame - per-user state never leaves
+    its shuffle partition, and the stage frames shrink monotonically, so
+    the whole funnel is len(steps) hash-partitioned passes over ever
+    smaller data.  No windows over the full event log, no theta joins."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    prev: DataFrame | None = None
+    counts = []
+    for i, step in enumerate(steps):
+        cur = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("t")
+        )
+        if prev is not None:
+            cur = (
+                cur.join(prev.select("u", F.col("t").alias("t_prev")), "u")
+                .filter(F.col("t") > F.col("t_prev"))
+                .select("u", "t")
+            )
+        prev = cur.groupBy("u").agg(F.min("t").alias("t"))
+        counts.append(
+            prev.agg(F.count("*").alias(f"step_{i + 1}"))
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out
+
+
+_WEEK_US = 604_800_000_000  # microseconds per week
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort_week, week_offset, n_users): users active ``week_offset``
+    weeks after their cohort week (the epoch-week of their first event).
+    Weeks are exact integer epoch arithmetic (``unix_micros div
+    week``) so the bucketing is engine-portable - no calendar/timezone
+    semantics to disagree on.
+
+    Two hash aggregates (first event per user; distinct user-week) and
+    one equi-join on user: the cohort dimension never touches the event
+    log a second time."""
+    # zone-free exact micros, then floor division.  Column `/` divides
+    # through double, so subtract the remainder first: the numerator
+    # becomes an exact multiple of the divisor and IEEE division of two
+    # exactly-representable longs (< 2^53) with an exactly-representable
+    # integer quotient is error-free.
+    us = ntz_micros(F.col(ts_col))
+    wk = (
+        (us - F.pmod(us, F.lit(_WEEK_US))) / F.lit(_WEEK_US)
+    ).cast("long")
+    ev = events.select(
+        F.col(user_col).alias("u"), wk.alias("wk")
+    )
+    first = ev.groupBy("u").agg(F.min("wk").alias("cohort_week"))
+    return (
+        ev.dropDuplicates(["u", "wk"])
+        .join(first, "u")
+        .select(
+            "cohort_week",
+            (F.col("wk") - F.col("cohort_week")).alias("week_offset"),
+            "u",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("u").alias("n_users"))
     )

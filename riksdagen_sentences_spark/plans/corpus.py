@@ -3857,6 +3857,66 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Event analytics: ordered funnel + weekly cohort retention
+# ---------------------------------------------------------------------------
+# funnel_counts: each stage is a filtered groupBy(user) joined to the
+# previous stage's first-completion time with a STRICT inequality, so
+# the oracle's chained CTEs pin the ordering semantics, not just the
+# counts.  cohort_retention buckets by exact integer epoch-weeks
+# (unix_micros div week == DuckDB epoch_us // week) - no calendar or
+# timezone semantics for the engines to disagree on.
+
+from ..operators.temporal import cohort_retention, funnel_counts  # noqa: E402
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _event_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    return funnel_counts(
+        _read(spark, sf, "events"), list(_FUNNEL_STEPS)
+    )
+
+
+_register(
+    "event_funnel_view_click_purchase",
+    _event_funnel,
+    "WITH s1 AS (SELECT user_id AS u, MIN(ts) AS t FROM events "
+    f"WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id), "
+    "s2 AS (SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e "
+    "JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t "
+    f"WHERE e.event_type = '{_FUNNEL_STEPS[1]}' GROUP BY e.user_id), "
+    "s3 AS (SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e "
+    "JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t "
+    f"WHERE e.event_type = '{_FUNNEL_STEPS[2]}' GROUP BY e.user_id) "
+    "SELECT (SELECT COUNT(*) FROM s1) AS step_1, "
+    "(SELECT COUNT(*) FROM s2) AS step_2, "
+    "(SELECT COUNT(*) FROM s3) AS step_3",
+)
+
+
+def _weekly_retention(spark: SparkSession, sf: str) -> DataFrame:
+    out = cohort_retention(_read(spark, sf, "events"))
+    return out.orderBy(
+        F.col("cohort_week").asc(), F.col("week_offset").asc()
+    )
+
+
+_register(
+    "weekly_cohort_retention",
+    _weekly_retention,
+    "WITH ev AS (SELECT user_id AS u, "
+    "epoch_us(ts) // 604800000000 AS wk FROM events), "
+    "fw AS (SELECT u, MIN(wk) AS cohort_week FROM ev GROUP BY u), "
+    "uw AS (SELECT DISTINCT u, wk FROM ev) "
+    "SELECT fw.cohort_week, uw.wk - fw.cohort_week AS week_offset, "
+    "COUNT(DISTINCT uw.u) AS n_users "
+    "FROM uw JOIN fw USING (u) "
+    "GROUP BY fw.cohort_week, week_offset "
+    "ORDER BY cohort_week ASC, week_offset ASC",
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 entries of

@@ -144,3 +144,62 @@ def test_sessionize_ntz_dst_safe(spark):
         ) == [0, 1]
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_funnel_counts_ordering_semantics(spark):
+    from datetime import datetime
+
+    from riksdagen_sentences_spark.operators.temporal import funnel_counts
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # u1 completes the full funnel in order
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # u2 clicks BEFORE viewing -> stops at step 1
+        (2, t(2), "view"), (2, t(1), "click"),
+        # u3 views+clicks, purchase is simultaneous with click ->
+        # strict inequality keeps it out of step 3
+        (3, t(1), "view"), (3, t(2), "click"), (3, t(2), "purchase"),
+        # u4 never views; their click/purchase count for nothing
+        (4, t(1), "click"), (4, t(2), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string"
+    )
+    got = funnel_counts(df, ["view", "click", "purchase"]).collect()[0]
+    assert (got["step_1"], got["step_2"], got["step_3"]) == (3, 2, 1)
+
+
+def test_cohort_retention_week_buckets(spark):
+    from datetime import datetime
+
+    from riksdagen_sentences_spark.operators.temporal import (
+        _WEEK_US,
+        cohort_retention,
+    )
+
+    # 2024-01-01 is a Monday; epoch weeks are Thursday-anchored, but the
+    # operator only promises exact integer micros // week
+    base = datetime(2024, 1, 1)
+    day = lambda d, u: (u, datetime(2024, 1, 1 + d))  # noqa: E731
+    rows = [
+        day(0, 1), day(1, 1), day(14, 1),   # u1: wk0 x2, wk+2
+        day(0, 2),                            # u2: wk0 only
+        day(7, 3), day(14, 3),                # u3: starts a week later
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in cohort_retention(df).collect()
+    }
+    import calendar
+
+    wk0 = (
+        int(calendar.timegm(base.timetuple())) * 1_000_000 // _WEEK_US
+    )
+    assert got == {
+        (wk0, 0): 2,        # u1, u2 in their cohort week
+        (wk0, 2): 1,        # u1 back two weeks later
+        (wk0 + 1, 0): 1,    # u3's cohort
+        (wk0 + 1, 1): 1,    # u3 back one week later
+    }
