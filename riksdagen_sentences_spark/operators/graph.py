@@ -489,3 +489,51 @@ def bfs_depths(
         frontier = nxt
     track(sym)
     return visited
+
+
+def sssp(
+    edges: DataFrame,
+    source_df: DataFrame,
+    n_iter: int = 4,
+    u_col: str = "u",
+    v_col: str = "v",
+    w_col: str = "w",
+) -> DataFrame:
+    """(node, dist) - weighted shortest-path distance from the source
+    node(s) over DIRECTED (u, v, w) edges after exactly ``n_iter``
+    synchronous Bellman-Ford rounds (pass a symmetrized edge list for
+    undirected graphs; nodes unreached within n_iter hops are absent).
+
+    Each round relaxes every edge out of the current distance set and
+    folds with one hash aggregate:
+
+        dist' = min over {dist} U {dist[u] + w : (u, v, w)}
+
+    - one shuffle on node id per round, the same fixed-iteration shape
+    (and oracle-unrolling contract) as ``pagerank``.  min/+ over doubles
+    is the identical op sequence in any engine, so unrolled SQL twins
+    hash-match exactly.  Lineage cut per round via localCheckpoint as in
+    the other iterative operators."""
+    e = edges.select(
+        F.col(u_col).alias("u"), F.col(v_col).alias("v"),
+        F.col(w_col).cast("double").alias("w"),
+    ).persist()
+    dist = track(
+        source_df.select("node")
+        .dropDuplicates(["node"])
+        .withColumn("dist", F.lit(0.0))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        cand = dist.join(e, dist["node"] == e["u"]).select(
+            F.col("v").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = track(
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    track(e)
+    return dist

@@ -3917,6 +3917,89 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Weighted SSSP over the co-occurrence graph (operators/graph.sssp)
+# ---------------------------------------------------------------------------
+# Bellman-Ford from the max-degree hub, edge weight 1/n_ab (stronger
+# co-occurrence = shorter distance).  Like the pagerank oracle, the SQL
+# twin unrolls the identical per-round relax+min recurrence, so the
+# hash pins the iteration arithmetic itself.
+
+from ..operators.graph import sssp  # noqa: E402
+
+_SSSP_ITER = 4
+
+
+def _entity_sssp(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = cooccurrence_pairs(_mention_edge_frame(spark, sf))
+    sym = pairs.select(
+        F.col("a").alias("u"), F.col("b").alias("v"),
+        (F.lit(1.0) / F.col("n")).alias("w"),
+    ).unionByName(
+        pairs.select(
+            F.col("b").alias("u"), F.col("a").alias("v"),
+            (F.lit(1.0) / F.col("n")).alias("w"),
+        )
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    src = (
+        deg.orderBy(F.col("d").desc(), F.col("node").asc())
+        .limit(1)
+        .select("node")
+    )
+    out = sssp(sym, src, n_iter=_SSSP_ITER)
+    return (
+        out.select(
+            "node",
+            (
+                F.floor(F.col("dist") * 10000.0 + F.lit(0.5)) / 10000.0
+            ).alias("dist_r"),
+        )
+        .orderBy(F.col("dist_r").asc(), F.col("node").asc())
+    )
+
+
+def _sssp_sql(n_iter: int) -> str:
+    parts = [
+        f"WITH {sentence_ctes()}, {_COOC_CTES}, ",
+        "syme AS MATERIALIZED (SELECT a AS u, b AS v, 1.0 / n_ab AS w FROM pairs "
+        "UNION ALL SELECT b, a, 1.0 / n_ab FROM pairs), ",
+        "deg AS (SELECT u AS node, COUNT(*) AS d FROM syme GROUP BY u), ",
+        "src AS (SELECT node FROM deg ORDER BY d DESC, node ASC "
+        "LIMIT 1), ",
+        "d0 AS (SELECT node, 0.0 AS dist FROM src), ",
+    ]
+    for k in range(1, n_iter + 1):
+        # MATERIALIZED: each level references the previous one twice;
+        # inlining would re-evaluate the whole sentence pipeline 2^k
+        # times
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM ("
+            f"SELECT node, dist FROM d{k - 1} "
+            "UNION ALL "
+            "SELECT s.v AS node, d.dist + s.w AS dist "
+            f"FROM d{k - 1} d JOIN syme s ON d.node = s.u"
+            ") GROUP BY node), "
+        )
+    # the loop leaves a trailing "), " - drop the comma before the
+    # final SELECT
+    parts[-1] = parts[-1][:-2] + " "
+    parts.append(
+        "SELECT node, floor(dist * 10000.0 + 0.5) / 10000.0 AS dist_r "
+        f"FROM d{n_iter} ORDER BY dist_r ASC, node ASC"
+    )
+    return "".join(parts)
+
+
+_register(
+    "entity_sssp_from_hub",
+    _entity_sssp,
+    _sssp_sql(_SSSP_ITER),
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 entries of

@@ -357,3 +357,47 @@ def test_bfs_depths_path_cycle_and_cap(spark):
     capped = {r["node"]: r["depth"]
               for r in bfs_depths(edges, src_e, max_depth=1).collect()}
     assert capped == {"e": 0, "d": 1}
+
+
+def test_sssp_matches_dijkstra(spark):
+    import heapq
+
+    from riksdagen_sentences_spark.operators.graph import sssp
+
+    edges = [
+        ("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 2.5),  # a-c direct loses
+        ("c", "d", 0.5), ("a", "d", 10.0),                   # via c wins
+        ("d", "a", 0.1),                                      # cycle back
+        ("x", "y", 1.0),                                      # unreachable
+    ]
+    df = spark.createDataFrame(edges, "u string, v string, w double")
+    src = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["dist"] for r in sssp(df, src, n_iter=4).collect()}
+
+    adj = {}
+    for u, v, w in edges:
+        adj.setdefault(u, []).append((v, w))
+    dist, pq = {"a": 0.0}, [(0.0, "a")]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            if d + w < dist.get(v, float("inf")):
+                dist[v] = d + w
+                heapq.heappush(pq, (d + w, v))
+    assert got == dist  # n_iter=4 >= longest shortest path (3 hops)
+    assert "x" not in got and "y" not in got
+
+
+def test_sssp_iteration_cap_is_hop_bound(spark):
+    from riksdagen_sentences_spark.operators.graph import sssp
+
+    chain = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0)],
+        "u string, v string, w double",
+    )
+    src = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["dist"]
+           for r in sssp(chain, src, n_iter=2).collect()}
+    assert got == {"a": 0.0, "b": 1.0, "c": 2.0}  # d needs 3 rounds
