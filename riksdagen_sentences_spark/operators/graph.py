@@ -353,12 +353,27 @@ def cooccurrence_pairs(
     A pathological hot group (one sentence mentioning thousands of
     entities) is the caller's signal to cap or sample that group - the
     quadratic blowup is semantic, not a plan artifact."""
+    return _pairs_from_base(_group_items(edges, group_col, item_col))
+
+
+def _group_items(
+    edges: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """Persisted distinct (g, a) frame - the cut-point every
+    co-occurrence consumer (self-join sides, marginals, group count)
+    reads instead of re-running the upstream edge lineage per
+    reference.  Released via cache.release_intermediates()."""
     base = (
         edges.select(
             F.col(group_col).alias("g"), F.col(item_col).alias("a")
         )
         .dropDuplicates(["g", "a"])
+        .persist()
     )
+    return track(base)
+
+
+def _pairs_from_base(base: DataFrame) -> DataFrame:
     other = base.select("g", F.col("a").alias("b"))
     return (
         base.join(other, "g")
@@ -381,23 +396,21 @@ def cooccurrence_pmi(
     the standard edge weight for KG co-mention graphs.  Marginals are
     one hash aggregate each and join the (much smaller) pair table;
     N rides in as a literal-free scalar via a 1-row cross join so the
-    whole plan stays a single declarative tree."""
-    pairs = cooccurrence_pairs(edges, group_col, item_col).withColumnRenamed(
-        "n", "n_ab"
-    )
-    base = edges.select(
-        F.col(group_col).alias("g"), F.col(item_col).alias("i")
-    ).dropDuplicates(["g", "i"])
-    marg = base.groupBy("i").agg(F.count("*").alias("m"))
+    whole plan stays a single declarative tree.  All four consumers
+    (both self-join sides, the marginal, the group count) read ONE
+    persisted (g, item) frame - the upstream edge lineage runs once."""
+    base = _group_items(edges, group_col, item_col)
+    pairs = _pairs_from_base(base).withColumnRenamed("n", "n_ab")
+    marg = base.groupBy("a").agg(F.count("*").alias("m"))
     # Spark resolves column names case-insensitively by default, so the
     # scalar cannot be called "N" next to the pair count "n".
     n_groups = base.select("g").dropDuplicates().agg(
         F.count("*").cast("double").alias("n_groups")
     )
     return (
-        pairs.join(marg.select(F.col("i").alias("a"),
+        pairs.join(marg.select(F.col("a"),
                                F.col("m").alias("n_a")), "a")
-        .join(marg.select(F.col("i").alias("b"),
+        .join(marg.select(F.col("a").alias("b"),
                           F.col("m").alias("n_b")), "b")
         .crossJoin(n_groups)
         .select(

@@ -3611,6 +3611,7 @@ _register(
 # contains() CTE the pagerank oracle uses), so the hash pins the
 # matcher AND the graph algebra.
 
+from ..operators.cache import track as _track  # noqa: E402
 from ..operators.graph import (  # noqa: E402
     bfs_depths,
     cooccurrence_pairs,
@@ -3706,7 +3707,11 @@ _BFS_MAX_DEPTH = 3
 
 
 def _entity_bfs(spark: SparkSession, sf: str) -> DataFrame:
-    pairs = cooccurrence_pairs(_mention_edge_frame(spark, sf))
+    # pairs feeds the edge list AND the degree-based source pick -
+    # persist so the co-occurrence build runs once
+    pairs = _track(
+        cooccurrence_pairs(_mention_edge_frame(spark, sf)).persist()
+    )
     edges = pairs.select(
         F.col("a").alias("subj"), F.col("b").alias("obj")
     )
@@ -3930,7 +3935,11 @@ _SSSP_ITER = 4
 
 
 def _entity_sssp(spark: SparkSession, sf: str) -> DataFrame:
-    pairs = cooccurrence_pairs(_mention_edge_frame(spark, sf))
+    # pairs feeds the symmetric edge list AND the hub pick - persist so
+    # the co-occurrence build runs once
+    pairs = _track(
+        cooccurrence_pairs(_mention_edge_frame(spark, sf)).persist()
+    )
     sym = pairs.select(
         F.col("a").alias("u"), F.col("b").alias("v"),
         (F.lit(1.0) / F.col("n")).alias("w"),
