@@ -312,7 +312,10 @@ def main() -> None:
         extras["triples_dup5_dedup"] = n
         spark.catalog.clearCache()
 
-    timed("triples_dup5_naive_100k", q_dup_naive)
+    # symmetric best-of-2: comparing a single naive shot against the
+    # dedup build's best-of-2 would let one lucky/unlucky run skew the
+    # recorded speedup either way
+    timed("triples_dup5_naive_100k", q_dup_naive, repeats=2)
     timed("triples_dup5_dedup_100k", q_dup_dedup, repeats=2)
 
     # q9: incremental maintenance (plans/delta.py) - with the dup5
