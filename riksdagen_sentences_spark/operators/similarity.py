@@ -455,3 +455,51 @@ def lsh_cosine_topk(
     return scored.orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float,
+    cluster_col: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): pairwise cosine comparison is restricted to items
+    sharing a cluster (an IVF cell from ``assign_cells``, an LSH bucket
+    from ``lsh_plane_sign_cols``, or any precomputed partition column),
+    and an item is DROPPED iff some lower-id item in its cluster is
+    within ``threshold`` cosine.  Returns the surviving rows of
+    ``embeddings`` unchanged.
+
+    Keep-lowest-id is the deterministic, order-free analog of the
+    paper's keep-one-per-duplicate-set rule: survivors are exactly the
+    id-local minima of the within-cluster threshold graph, so the result
+    is independent of scan order, partitioning, and cluster count - the
+    properties an engine-portable oracle needs.  (SemDeDup proper keeps
+    the point with the LOWEST similarity to the cluster centroid; that
+    tie-break needs the centroid at hand and is not stable under
+    re-clustering, so the id rule is the production choice here.)
+
+    Scale shape: the only shuffle is the within-cluster self-join -
+    sum(cluster_size^2) work, exactly the quadratic-bounding trick the
+    paper uses k-means for.  The drop-set is DISTINCT ids (tiny relative
+    to the corpus); survivors come back via one left_anti join on the
+    id.  No all-pairs comparison exists on any path.
+    """
+    sig = embeddings.select(id_col, cluster_col, vec_col)
+    a, b = sig.alias("a"), sig.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col(f"a.{cluster_col}") == F.col(f"b.{cluster_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(
+            cosine_col(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+            >= F.lit(threshold)
+        )
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return embeddings.join(dropped, on=id_col, how="left_anti")

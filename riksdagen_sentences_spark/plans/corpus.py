@@ -1712,6 +1712,49 @@ WHERE floor(list_dot_product(a.v, b.v) /
 )
 
 
+# SemDeDup-style semantic dedup (operators/similarity.semantic_dedup,
+# Abbas et al. 2023): cluster-pruned pairwise cosine, drop an item iff
+# some LOWER-id item in its cluster is within threshold - survivors are
+# the id-local minima of the within-cluster threshold graph.  The
+# driver variant clusters by the deterministic LSH plane signature so
+# the oracle is exact; pytest pins the IVF-cell/planted-label variant
+# (test_similarity.py) where clusters are semantic, not hash-shaped.
+def _semantic_dedup_q(spark, sf):
+    from ..operators import similarity as SIM2
+
+    emb = _read(spark, sf, "embeddings")
+    clustered = emb.withColumn(
+        "bucket",
+        SIM2.lsh_plane_sign_cols(F.col("embedding"), _EMB_DIMS, 8),
+    )
+    return SIM2.semantic_dedup(
+        clustered, threshold=0.2, cluster_col="bucket"
+    ).select("vec_id", "bucket")
+
+
+_register(
+    "semantic_dedup_survivors",
+    _semantic_dedup_q,
+    f"""
+WITH sig AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_BUCKET_SQL} AS bucket
+  FROM embeddings
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE floor(list_dot_product(a.v, b.v) /
+    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+    * 10000.0 + 0.5) / 10000.0 >= 0.2
+)
+SELECT s.vec_id AS vec_id, s.bucket AS bucket
+FROM sig s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+WHERE d.vec_id IS NULL
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Remaining SURVEY §2 operator classes: D6 (word/page counts), Q2
 # (self-join with aliases), Q17 (size/metadata stats), Q19 (dim

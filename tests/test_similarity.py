@@ -244,3 +244,51 @@ def test_append_ivf_index_full_probe_exact(spark, tmp_path):
     # table): every vector is present exactly once
     n = spark.read.parquet(half.path).count()
     assert n == emb.count()
+
+
+def test_semantic_dedup_planted_clusters(spark):
+    """On the planted-cluster fixture (label = vec_id % 8, within-cluster
+    cosine ~0.9999) semantic dedup at threshold 0.95 must keep exactly
+    one survivor per cluster - the lowest id, i.e. vec_ids 0..7."""
+    from riksdagen_sentences_spark.sources.synth import clustered_embeddings
+
+    emb = clustered_embeddings(spark)
+    out = SIM.semantic_dedup(emb, threshold=0.95, cluster_col="label")
+    assert sorted(r["vec_id"] for r in out.collect()) == list(range(8))
+
+
+def test_semantic_dedup_ivf_cells_match_labels(spark, tmp_path):
+    """Clustering by IVF cells (the production path) recovers the planted
+    partition, so survivors match the label-clustered run exactly."""
+    from riksdagen_sentences_spark.sources.synth import clustered_embeddings
+
+    emb = clustered_embeddings(spark)
+    index = SIM.build_ivf_index(
+        emb.drop("label"), str(tmp_path / "sem_ivf"), n_cells=8, seed=42
+    )
+    celled = SIM.assign_cells(index, emb.drop("label"))
+    out = SIM.semantic_dedup(celled, threshold=0.95, cluster_col="cell")
+    assert sorted(r["vec_id"] for r in out.collect()) == list(range(8))
+
+
+def test_semantic_dedup_keeps_id_local_minima(spark):
+    """Path graph 1-3, 3-2 within one cluster (ids 1 < 2 < 3): 3 has the
+    lower-id near neighbor 1 so it is dropped; 2's only in-threshold
+    neighbor is the HIGHER id 3, so 2 survives even though 3 - the item
+    that made 2 a near-dup candidate - was itself dropped.  This is the
+    documented keep-lowest-id greedy-variant semantics (survivors =
+    id-local minima), deliberately distinct from connected-components
+    keep-one-per-component."""
+    import math
+
+    def v(deg):
+        r = math.radians(deg)
+        return [float(math.cos(r)), float(math.sin(r))]
+
+    emb = spark.createDataFrame(
+        [(1, v(0.0), 0), (3, v(25.0), 0), (2, v(50.0), 0)],
+        "vec_id long, embedding array<float>, cluster int",
+    )
+    # cos(25 deg) ~ 0.906 >= 0.9 links (1,3) and (3,2); cos(50) ~ 0.64 < 0.9
+    out = SIM.semantic_dedup(emb, threshold=0.9, cluster_col="cluster")
+    assert sorted(r["vec_id"] for r in out.collect()) == [1, 2]
