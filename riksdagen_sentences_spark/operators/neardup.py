@@ -536,3 +536,50 @@ def simhash_neardup_pairs(
             "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
         )
     )
+
+
+def component_dedup(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate-CLUSTER dedup: keep exactly ONE document per weakly
+    connected component of the near-dup pair graph (the component's min
+    id), dropping every other member.  Returns the surviving rows of
+    ``docs`` unchanged.
+
+    This is the third dedup semantics in the suite, and the strictest:
+
+    - greedy drop-``doc_b`` (plans/curate.py): drops the larger id of
+      every pair - survivors are the id-local minima,
+    - semantic_dedup (operators/similarity.py): same local-minima rule,
+      cluster-pruned in embedding space,
+    - component_dedup (here): transitively closes the pair graph first,
+      so a chain a~b~c with NO a~c pair still collapses to just a.
+
+    On the path graph (1,3),(2,3) the greedy rule keeps {1, 2} (2's only
+    neighbor is the higher id 3); this keeps {1} - the pair graph is one
+    component.  Use this when near-duplication is transitive in the
+    corpus (boilerplate families, mirrored sites); use the greedy rule
+    when chained false positives must not wipe distinct content.
+
+    Scale shape: min-label propagation is O(component diameter) shuffle
+    rounds (operators/graph.connected_components docstring has the
+    high-diameter contraction alternative); the dropped set is one
+    filter over the labels; survivors come back via one left_anti join
+    that AQE turns into a broadcast when the dropped set is small.
+    """
+    from .graph import connected_components
+
+    edges = pairs.select(
+        F.col(a_col).alias("subj"), F.col(b_col).alias("obj")
+    )
+    cc = connected_components(edges, max_iter=max_iter)
+    dropped = (
+        cc.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias(id_col))
+    )
+    return docs.join(dropped, on=id_col, how="left_anti")

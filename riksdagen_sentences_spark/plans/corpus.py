@@ -1363,6 +1363,42 @@ _register(
 )
 
 
+# Duplicate-CLUSTER dedup (operators/neardup.component_dedup): keep ONE
+# doc per weakly connected component of the verified near-dup graph -
+# the transitive-closure semantics, in contrast to the greedy
+# drop-doc_b rule in plans/curate.py (local minima) and the
+# cluster-pruned local-minima rule of similarity.semantic_dedup.  The
+# oracle closes the same verified pair set with a recursive CTE and
+# keeps component minima.
+def _neardup_component_survivors(spark, sf):
+    docs = _read(spark, sf, "documents")
+    pairs = ND.lsh_verified_pairs(docs, threshold=0.2)
+    return ND.component_dedup(docs, pairs).select("doc_id")
+
+
+_register(
+    "neardup_component_survivors",
+    _neardup_component_survivors,
+    f"""
+WITH RECURSIVE {_lsh_verified_sql('documents', 0.2)},
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION SELECT doc_b, doc_a FROM verified
+),
+reach(node, r) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT reach.node, und.b FROM reach JOIN und ON reach.r = und.a
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+dropped AS (SELECT node AS doc_id FROM comp WHERE node <> component)
+SELECT d.doc_id AS doc_id
+FROM documents d LEFT JOIN dropped x ON d.doc_id = x.doc_id
+WHERE x.doc_id IS NULL
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # End-to-end training-data curation pipeline (composed operator): quality
 # gate -> exact dedup (keep min doc_id per fingerprint) -> verified

@@ -118,3 +118,24 @@ def test_simhash64_production_config(spark):
     assert len(pairs) <= n32
     with pytest.raises(ValueError, match="<= 64"):
         ND.simhash_fingerprints(docs, bits=128)
+
+
+def test_component_dedup_transitive_vs_greedy(spark):
+    """Path pair graph (1,3),(2,3): the greedy drop-doc_b rule keeps
+    {1, 2} (2's only neighbor is the HIGHER id 3), while component dedup
+    transitively closes the graph - one component {1,2,3} - and keeps
+    only its minimum, 1."""
+    docs = spark.createDataFrame(
+        [(1,), (2,), (3,), (9,)], "doc_id long"
+    )  # 9 = isolated doc, must always survive
+    pairs = spark.createDataFrame(
+        [(1, 3), (2, 3)], "doc_a long, doc_b long"
+    )
+    greedy = docs.join(
+        pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    assert sorted(r["doc_id"] for r in greedy.collect()) == [1, 2, 9]
+    cc = ND.component_dedup(docs, pairs)
+    assert sorted(r["doc_id"] for r in cc.collect()) == [1, 9]
