@@ -463,6 +463,7 @@ def semantic_dedup(
     cluster_col: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023,
     arXiv:2303.09540): pairwise cosine comparison is restricted to items
@@ -486,13 +487,56 @@ def semantic_dedup(
     paper uses k-means for.  The drop-set is DISTINCT ids (tiny relative
     to the corpus); survivors come back via one left_anti join on the
     id.  No all-pairs comparison exists on any path.
+
+    ``max_cluster_size`` bounds the quadratic term when the clustering
+    can go HOT (boilerplate/empty documents collapsing into one cell, a
+    degenerate LSH bucket): an oversized cluster is deterministically
+    subdivided into ceil(size / max_cluster_size) salt groups by a hash
+    of the id, and comparison runs within (cluster, salt) only.  The
+    documented tradeoff is recall, not correctness: near-dup pairs
+    split across salts are NOT compared, so a hot cluster keeps up to
+    one survivor per salt instead of one overall - the same bound-work/
+    lose-recall dial every production dedup exposes (MinHash band
+    count, SimHash bit width).  Clusters at or under the cap are
+    untouched, so results are identical to the uncapped run wherever
+    the cap doesn't bite.
     """
     sig = embeddings.select(id_col, cluster_col, vec_col)
+    key = cluster_col
+    if max_cluster_size is not None:
+        sizes = sig.groupBy(cluster_col).agg(
+            F.count("*").alias("__csize")
+        )
+        n_salts = F.greatest(
+            F.lit(1),
+            F.ceil(F.col("__csize") / F.lit(max_cluster_size)).cast("int"),
+        )
+        salt = (
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % n_salts
+        )
+        sig = (
+            sig.join(sizes, cluster_col)
+            .withColumn(
+                "__ckey",
+                F.concat_ws(
+                    "#",
+                    F.col(cluster_col).cast("string"),
+                    salt.cast("string"),
+                ),
+            )
+            .drop("__csize")
+        )
+        key = "__ckey"
     a, b = sig.alias("a"), sig.alias("b")
     dropped = (
         a.join(
             b,
-            (F.col(f"a.{cluster_col}") == F.col(f"b.{cluster_col}"))
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .filter(

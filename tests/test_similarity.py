@@ -292,3 +292,44 @@ def test_semantic_dedup_keeps_id_local_minima(spark):
     # cos(25 deg) ~ 0.906 >= 0.9 links (1,3) and (3,2); cos(50) ~ 0.64 < 0.9
     out = SIM.semantic_dedup(emb, threshold=0.9, cluster_col="cluster")
     assert sorted(r["vec_id"] for r in out.collect()) == [1, 2]
+
+
+def test_semantic_dedup_max_cluster_size_bounds_hot_cluster(spark):
+    """A degenerate clustering (every vector in ONE cluster) is the
+    quadratic worst case; max_cluster_size subdivides it into hash-salt
+    groups so the self-join is bounded.  The documented tradeoff is
+    recall: the hot cluster keeps up to one survivor per salt instead
+    of one overall.  Clusters under the cap must be byte-identical to
+    the uncapped run."""
+    from riksdagen_sentences_spark.sources.synth import clustered_embeddings
+
+    emb = clustered_embeddings(spark, n_clusters=1, per_cluster=100)
+    # uncapped: one cluster, one survivor (the min id)
+    base = SIM.semantic_dedup(emb, threshold=0.95, cluster_col="label")
+    assert [r["vec_id"] for r in base.collect()] == [0]
+    capped = SIM.semantic_dedup(
+        emb, threshold=0.95, cluster_col="label", max_cluster_size=10
+    )
+    survivors = sorted(r["vec_id"] for r in capped.collect())
+    # ceil(100/10) = 10 salt groups -> exactly one survivor per
+    # NON-EMPTY salt group (every pair within a salt is a near-dup):
+    # more than 1 (recall tradeoff is real) but at most 10 (bounded)
+    assert 1 < len(survivors) <= 10
+    # the capped run is a superset of the uncapped survivors
+    assert 0 in survivors
+    # a multi-cluster corpus where no cluster exceeds the cap is
+    # untouched by the subdivision
+    emb8 = clustered_embeddings(spark, n_clusters=8, per_cluster=20)
+    a = sorted(
+        r["vec_id"]
+        for r in SIM.semantic_dedup(
+            emb8, threshold=0.95, cluster_col="label"
+        ).collect()
+    )
+    b = sorted(
+        r["vec_id"]
+        for r in SIM.semantic_dedup(
+            emb8, threshold=0.95, cluster_col="label", max_cluster_size=20
+        ).collect()
+    )
+    assert a == b == list(range(8))
