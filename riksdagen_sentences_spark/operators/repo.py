@@ -1,0 +1,94 @@
+"""Repository-history operators over the north-rule files table.
+
+A source-code corpus at 10^12-file scale is commit-addressed: every
+(repo, path) carries its full commit history, and most downstream
+consumers (KG construction, training-data curation) want one of two
+views - the HEAD snapshot (newest commit per file) or the
+content-addressed distinct set.  These operators provide the snapshot,
+cross-repo clone detection over it, and per-repo language statistics.
+
+Reference analog: the reference analyzes "the latest download" of each
+document (models/datasets.py:21-36 walks one directory per dataset) -
+its corpus IS a head snapshot; at code-repo scale the snapshot must be
+computed, not assumed.
+
+Scale notes
+- latest_snapshot: groupBy(repo, path) + max(struct(...)) - partial
+  aggregation runs map-side, so deep histories collapse BEFORE the
+  shuffle; a window row_number would ship every commit row through the
+  exchange and sort it.  One hash exchange on (repo, path); mega-repos
+  do not skew it because path spreads the key space.
+- cross_repo_clones: sha256 runs AFTER the snapshot agg (on ~n_files
+  rows, not n_commits x n_files), then one groupBy on the digest.
+  Identical content hashes to identical digests regardless of repo, so
+  the group is tiny even when the corpus is not.
+- language_breakdown: agg to (repo, lang) grain first (result is
+  catalog-sized), then a window over repo for the share - the window
+  input is already small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def latest_snapshot(files: DataFrame, order_col: str = "commit_seq") -> DataFrame:
+    """HEAD view: the newest commit of every (repo, path).
+
+    Ties on ``order_col`` (which a real deployment maps to the commit
+    timestamp from git metadata) break on the commit digest, so the
+    result is deterministic under concurrent-commit clocks.
+    """
+    payload = F.max(
+        F.struct(
+            F.col(order_col).alias("o"),
+            F.col("commit").alias("commit"),
+            F.col("lang").alias("lang"),
+            F.col("content").alias("content"),
+        )
+    ).alias("s")
+    return files.groupBy("repo", "path").agg(payload).select(
+        "repo",
+        "path",
+        F.col("s.commit").alias("commit"),
+        F.col("s.o").alias(order_col),
+        F.col("s.lang").alias("lang"),
+        F.col("s.content").alias("content"),
+    )
+
+
+def cross_repo_clones(snapshot: DataFrame, min_repos: int = 2) -> DataFrame:
+    """Content-addressed clone groups spanning >= ``min_repos`` repos.
+
+    (content_sha, n_repos, n_files) per duplicated blob - the file-level
+    twin of document exact dedup, and the first gate a code-corpus
+    curation pipeline applies (vendored/forked trees dominate raw
+    crawls).
+    """
+    return (
+        snapshot.select(
+            "repo", F.sha2(F.col("content"), 256).alias("content_sha")
+        )
+        .groupBy("content_sha")
+        .agg(
+            F.countDistinct("repo").alias("n_repos"),
+            F.count("*").alias("n_files"),
+        )
+        .filter(F.col("n_repos") >= min_repos)
+    )
+
+
+def language_breakdown(snapshot: DataFrame) -> DataFrame:
+    """(repo, lang, n_files, share) over the HEAD snapshot; share is
+    floor-rounded to 4dp so both engines produce the identical double."""
+    per = snapshot.groupBy("repo", "lang").agg(F.count("*").alias("n_files"))
+    w = Window.partitionBy("repo")
+    share = F.col("n_files") / F.sum("n_files").over(w)
+    return per.select(
+        "repo",
+        "lang",
+        "n_files",
+        (F.floor(share * 10000.0 + F.lit(0.5)) / 10000.0).alias("share"),
+    )

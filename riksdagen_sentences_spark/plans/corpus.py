@@ -4088,6 +4088,121 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Repository-history suite (operators/repo.py over sources/synth.files_history)
+# ---------------------------------------------------------------------------
+# The north-rule input is commit-addressed: (repo, path) x commit.  The
+# HEAD-snapshot extraction, cross-repo clone detection, and per-repo
+# language stats are the first operators any code-corpus consumer runs.
+# The fixture is pure column algebra (integer decomposition + md5), so
+# _files_history_sql() reproduces it bit-identically in DuckDB and all
+# three queries carry exact oracles.
+
+
+def _files_history_sql(
+    n_repos: int = 6, n_paths: int = 30, n_commits: int = 8
+) -> str:
+    """DuckDB twin of sources/synth.files_history: same integer
+    decomposition of the row id, same md5 commit digests, same planted
+    every-5th-path cross-repo clone content."""
+    n = n_repos * n_paths * n_commits
+    return f"""
+SELECT
+  'repo_' || CAST(repo_id AS VARCHAR) AS repo,
+  'src/f' || CAST(path_id AS VARCHAR) || '.' || lang AS path,
+  md5('c:' || CAST(repo_id AS VARCHAR) || ':' || CAST(path_id AS VARCHAR)
+      || ':' || CAST(seq AS VARCHAR)) AS commit,
+  seq AS commit_seq,
+  lang,
+  'def f' || CAST(path_id AS VARCHAR) || '(): return ' || key
+      || ' # v' || CAST(ver AS VARCHAR) AS content
+FROM (
+  SELECT *,
+    CASE path_id % 4 WHEN 0 THEN 'py' WHEN 1 THEN 'rs'
+                     WHEN 2 THEN 'go' ELSE 'js' END AS lang,
+    CASE WHEN path_id % 5 = 0 THEN 'shared:' || CAST(path_id AS VARCHAR)
+         ELSE CAST(repo_id AS VARCHAR) || ':' || CAST(path_id AS VARCHAR)
+    END AS key,
+    (seq - seq % 3) // 3 AS ver
+  FROM (
+    SELECT
+      range % {n_commits} AS seq,
+      ((range - range % {n_commits}) // {n_commits}) % {n_paths} AS path_id,
+      ((range - range % {n_commits}) // {n_commits}) // {n_paths} AS repo_id
+    FROM range({n})
+  )
+)
+"""
+
+
+_FH_SNAPSHOT_SQL = f"""
+WITH fh AS ({_files_history_sql()}),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY repo, path
+        ORDER BY commit_seq DESC, commit DESC) AS rn FROM fh)
+SELECT repo, path, commit, commit_seq, lang, content FROM r WHERE rn = 1
+"""
+
+
+def _repo_head_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import repo as R
+    from ..sources.synth import files_history
+
+    del sf  # dual-synthesized fixture; sf tables carry no commit history
+    return R.latest_snapshot(files_history(spark))
+
+
+_register(
+    "repo_head_snapshot",
+    _repo_head_snapshot,
+    _FH_SNAPSHOT_SQL,
+)
+
+
+def _cross_repo_clone_groups(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import repo as R
+    from ..sources.synth import files_history
+
+    del sf
+    return R.cross_repo_clones(R.latest_snapshot(files_history(spark)))
+
+
+_register(
+    "cross_repo_clone_groups",
+    _cross_repo_clone_groups,
+    f"""
+WITH snap AS ({_FH_SNAPSHOT_SQL})
+SELECT sha256(content) AS content_sha,
+       COUNT(DISTINCT repo) AS n_repos,
+       COUNT(*) AS n_files
+FROM snap GROUP BY 1 HAVING COUNT(DISTINCT repo) >= 2
+""",
+)
+
+
+def _repo_language_breakdown(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import repo as R
+    from ..sources.synth import files_history
+
+    del sf
+    return R.language_breakdown(R.latest_snapshot(files_history(spark)))
+
+
+_register(
+    "repo_language_breakdown",
+    _repo_language_breakdown,
+    f"""
+WITH snap AS ({_FH_SNAPSHOT_SQL}),
+per AS (SELECT repo, lang, COUNT(*) AS n_files FROM snap GROUP BY 1, 2)
+SELECT repo, lang, n_files,
+  floor(CAST(n_files AS DOUBLE) /
+        CAST(SUM(n_files) OVER (PARTITION BY repo) AS DOUBLE)
+        * 10000.0 + 0.5) / 10000.0 AS share
+FROM per
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 entries of

@@ -186,3 +186,55 @@ def clustered_embeddings(
     return base.select(
         "vec_id", F.array(*comps).alias("embedding"), "label"
     )
+
+
+def files_history(
+    spark: SparkSession,
+    n_repos: int = 6,
+    n_paths: int = 30,
+    n_commits: int = 8,
+) -> DataFrame:
+    """Commit-HISTORY variant of the files table: every (repo, path)
+    carries ``n_commits`` commits, content evolves every 3rd commit,
+    and every 5th path's content is IDENTICAL across all repos (the
+    planted cross-repo clone set for operators/repo.py).
+
+    Pure column algebra (integer decomposition + md5), no RNG state and
+    no Python UDF, so plans/corpus.py can generate a bit-identical
+    DuckDB twin (``_files_history_sql``) and the snapshot / clone /
+    language queries get exact oracles.  The same expressions run
+    unchanged at any row count - this is a generator shape, not a
+    fixture-size trick.
+    """
+    n = n_repos * n_paths * n_commits
+    id_ = F.col("id")
+    seq = (id_ % n_commits).cast("long")
+    fid = ((id_ - seq) / F.lit(n_commits)).cast("long")
+    path_id = (fid % n_paths).cast("long")
+    repo_id = ((fid - path_id) / F.lit(n_paths)).cast("long")
+    ver = ((seq - seq % 3) / F.lit(3)).cast("long")
+    lang = (
+        F.when(path_id % 4 == 0, F.lit("py"))
+        .when(path_id % 4 == 1, F.lit("rs"))
+        .when(path_id % 4 == 2, F.lit("go"))
+        .otherwise(F.lit("js"))
+    )
+    key = F.when(
+        path_id % 5 == 0, F.concat_ws(":", F.lit("shared"), path_id)
+    ).otherwise(F.concat_ws(":", repo_id, path_id))
+    return spark.range(n).select(
+        F.concat_ws("_", F.lit("repo"), repo_id).alias("repo"),
+        F.concat(
+            F.lit("src/f"), path_id.cast("string"), F.lit("."), lang
+        ).alias("path"),
+        F.md5(F.concat_ws(":", F.lit("c"), repo_id, path_id, seq)).alias(
+            "commit"
+        ),
+        seq.alias("commit_seq"),
+        lang.alias("lang"),
+        F.concat(
+            F.lit("def f"), path_id.cast("string"),
+            F.lit("(): return "), key,
+            F.lit(" # v"), ver.cast("string"),
+        ).alias("content"),
+    )
