@@ -274,3 +274,66 @@ def dedup_paragraphs(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    val_pct: int = 10,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Train/validation split that near-duplicates can NEVER straddle.
+
+    A plain hash split leaks: a near-copy of a validation document
+    lands in train and the eval is contaminated (the exact failure
+    n-gram decontamination guards against, but INTERNAL to the corpus).
+    Here the unit of assignment is the connected component of the
+    verified near-dup pair graph - every member of a duplicate family
+    rides its component representative (min id) into the same side.
+
+    Returns (id_col, component, split) with split in {'train', 'val'};
+    ``val_pct``/100 of COMPONENTS go to val.  Assignment is md5
+    arithmetic on the component id - deterministic across runs,
+    cluster sizes, and engines (the DuckDB oracle reproduces it).
+
+    Scale shape: component labels come from min-label propagation
+    (O(diameter) rounds) over the pair graph - pairs only, never the
+    corpus; the corpus sees one left join against the (tiny) labeled
+    set plus pure per-row hash arithmetic.  Unpaired documents - the
+    overwhelming majority - short-circuit to their own id via
+    coalesce, costing nothing.
+    """
+    from .graph import connected_components
+
+    edges = pairs.select(
+        F.col(a_col).alias("subj"), F.col(b_col).alias("obj")
+    )
+    cc = connected_components(edges, max_iter=max_iter).withColumnRenamed(
+        "node", id_col
+    )
+    lab = (
+        docs.select(id_col)
+        .join(cc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+    )
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("component").cast("string")), 1, 4),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return lab.select(
+        id_col,
+        "component",
+        F.when(fold < val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -4203,6 +4203,81 @@ FROM per
 
 
 # ---------------------------------------------------------------------------
+# Leakage-safe train/val split (operators/curation.leakage_safe_split):
+# the unit of split assignment is the connected component of the
+# verified near-dup graph, so a near-copy of a validation document can
+# never land in train.  The artifact row carries the invariant itself:
+# cross_split_pairs counts verified pairs whose ends straddle the
+# boundary - 0 by construction, and the oracle recomputes it from the
+# same recursive closure + md5 assignment.
+# ---------------------------------------------------------------------------
+
+
+def _leakage_safe_split_stats(spark, sf):
+    from ..operators.curation import leakage_safe_split
+
+    docs = _read(spark, sf, "documents")
+    pairs = ND.lsh_verified_pairs(docs, threshold=0.2)
+    asg = leakage_safe_split(docs, pairs)
+    per = asg.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("component").alias("n_components"),
+    )
+    a = asg.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = asg.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    cross = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter("sa <> sb")
+        .agg(F.count("*").alias("cross_split_pairs"))
+    )
+    return per.crossJoin(cross)
+
+
+_register(
+    "leakage_safe_split_stats",
+    _leakage_safe_split_stats,
+    f"""
+WITH RECURSIVE {_lsh_verified_sql('documents', 0.2)},
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION SELECT doc_b, doc_a FROM verified
+),
+reach(node, r) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT reach.node, und.b FROM reach JOIN und ON reach.r = und.a
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+asg AS (
+  SELECT d.doc_id,
+         COALESCE(c.component, d.doc_id) AS component,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST(
+                COALESCE(c.component, d.doc_id) AS VARCHAR)), 1, 4))
+              AS BIGINT) % 100 < 10
+              THEN 'val' ELSE 'train' END AS split
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+per AS (
+  SELECT split, COUNT(*) AS n_docs,
+         COUNT(DISTINCT component) AS n_components
+  FROM asg GROUP BY split
+),
+cross_cnt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS cross_split_pairs
+  FROM verified v
+  JOIN asg x ON v.doc_a = x.doc_id
+  JOIN asg y ON v.doc_b = y.doc_id
+  WHERE x.split <> y.split
+)
+SELECT per.split, per.n_docs, per.n_components,
+       cross_cnt.cross_split_pairs
+FROM per, cross_cnt
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 entries of

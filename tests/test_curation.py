@@ -262,3 +262,30 @@ def test_dedup_paragraphs_keep_first_and_reassemble(spark):
     # 'alpha' belongs to doc 1; the in-doc repeat dies too
     assert rows[4]["text_dedup"] == "epsilon"
     assert (rows[4]["n_paras"], rows[4]["n_kept"]) == (3, 1)
+
+
+def test_leakage_safe_split_components_never_straddle(spark):
+    from riksdagen_sentences_spark.operators.curation import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    # path graph 1~3~2 (no 1~2 pair) plus an isolated pair 5~6
+    pairs = spark.createDataFrame(
+        [(1, 3), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    asg = {r.doc_id: r for r in leakage_safe_split(docs, pairs).collect()}
+    assert len(asg) == 7
+    # transitive family {1,2,3} rides component 1 into ONE side
+    assert asg[1].component == asg[2].component == asg[3].component == 1
+    assert asg[1].split == asg[2].split == asg[3].split
+    assert asg[5].component == asg[6].component == 5
+    assert asg[5].split == asg[6].split
+    # unpaired docs are their own component
+    assert asg[4].component == 4 and asg[7].component == 7
+    # deterministic across runs
+    again = {r.doc_id: r.split for r in
+             leakage_safe_split(docs, pairs).collect()}
+    assert again == {k: v.split for k, v in asg.items()}
