@@ -4278,6 +4278,91 @@ FROM per, cross_cnt
 
 
 # ---------------------------------------------------------------------------
+# Naive Bayes quality classifier (operators/classify.py): the labeled
+# seed and probes are shared constants (classify.NB_SEED/NB_PROBES), the
+# oracle re-derives the full train+score chain - Laplace-smoothed
+# counts, ln arithmetic, argmax with (score DESC, label DESC) tie-break
+# - and the artifact carries integer class counts only, so the 1-ulp
+# libm ln() divergence between engines cannot touch the hash (planted
+# margins are orders of magnitude wider).
+# ---------------------------------------------------------------------------
+
+
+def _nb_document_class_counts(spark, sf):
+    from ..operators.classify import NB_PROBES, NB_SEED, nb_predict, nb_train
+
+    labeled = spark.createDataFrame(
+        list(NB_SEED), "label string, text string"
+    )
+    docs = _read(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    probes = spark.createDataFrame(
+        list(NB_PROBES), "doc_id string, text string"
+    )
+    scored = nb_predict(docs.unionByName(probes), nb_train(labeled))
+    return scored.groupBy("pred_label").agg(F.count("*").alias("n_docs"))
+
+
+def _nb_sql() -> str:
+    from ..operators.classify import NB_PROBES, NB_SEED
+
+    train_vals = ", ".join(f"('{lb}', '{tx}')" for lb, tx in NB_SEED)
+    probe_vals = ", ".join(f"('{i}', '{tx}')" for i, tx in NB_PROBES)
+    split = r"unnest(string_split_regex(lower(txt), '\s+')) AS token"
+    return f"""
+WITH train(label, txt) AS (VALUES {train_vals}),
+sprobe(doc_id, txt) AS (VALUES {probe_vals}),
+sdocs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS txt FROM documents
+  UNION ALL SELECT doc_id, txt FROM sprobe
+),
+tokf AS (SELECT * FROM (SELECT label, {split} FROM train)
+         WHERE token <> ''),
+vocab AS (SELECT DISTINCT token FROM tokf),
+vn AS (SELECT COUNT(*) AS v FROM vocab),
+classes AS (SELECT label, COUNT(*) AS n_docs FROM train GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n_total FROM train),
+ctok AS (SELECT label, COUNT(*) AS n_tok FROM tokf GROUP BY 1),
+cnts AS (SELECT label, token, COUNT(*) AS c FROM tokf GROUP BY 1, 2),
+model AS (
+  SELECT cl.label, vb.token,
+         ln((COALESCE(cn.c, 0) + 1.0) / (ct.n_tok + 1.0 * vn.v))
+           AS log_lik
+  FROM classes cl CROSS JOIN vocab vb CROSS JOIN vn
+  JOIN ctok ct ON ct.label = cl.label
+  LEFT JOIN cnts cn ON cn.label = cl.label AND cn.token = vb.token
+),
+priors AS (SELECT cl.label,
+                  ln(CAST(cl.n_docs AS DOUBLE) / tot.n_total) AS log_prior
+           FROM classes cl, tot),
+stokf AS (SELECT * FROM (SELECT doc_id, {split} FROM sdocs)
+          WHERE token <> ''),
+summed AS (SELECT s.doc_id, m.label, SUM(m.log_lik) AS s
+           FROM stokf s JOIN model m ON m.token = s.token GROUP BY 1, 2),
+scores AS (
+  SELECT d.doc_id, p.label, p.log_prior + COALESCE(su.s, 0.0) AS score
+  FROM (SELECT doc_id FROM sdocs) d CROSS JOIN priors p
+  LEFT JOIN summed su ON su.doc_id = d.doc_id AND su.label = p.label
+),
+pred AS (
+  SELECT doc_id, label AS pred_label,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, label DESC) AS rn
+  FROM scores
+)
+SELECT pred_label, COUNT(*) AS n_docs FROM pred WHERE rn = 1 GROUP BY 1
+"""
+
+
+_register(
+    "nb_document_class_counts",
+    _nb_document_class_counts,
+    _nb_sql(),
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 entries of
