@@ -550,3 +550,73 @@ def sssp(
         )
     track(e)
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 3,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """(node, label) after ``n_iter`` rounds of SYNCHRONOUS label
+    propagation over the undirected simple graph of (subj, obj):
+
+        label_0(v)     = v
+        label_{r+1}(v) = most frequent label among v's neighbors,
+                         ties -> MIN label
+
+    Community detection one notch softer than connected components:
+    min-label CC floods the whole component with one label, while the
+    neighbor-majority vote lets dense cores keep their own labels
+    inside a sparsely-bridged component.  Synchronous + fixed rounds +
+    deterministic tie-break = the recurrence is pure join/aggregate
+    algebra, so a SQL oracle can unroll it round by round (the same
+    contract as :func:`pagerank` and :func:`sssp`; asynchronous LPA is
+    faster to converge but order-dependent, useless under an oracle).
+
+    Multi-edges are collapsed first (simple-graph votes); pass a
+    weighted edge list through a pre-aggregation if weighted votes are
+    wanted.  Scale shape: per round exactly one shuffle-join of the
+    (node, label) frame against the checkpointed undirected edges and
+    one two-level aggregate (count votes, then min(struct(-count,
+    label)) - both map-side combined); ``localCheckpoint`` cuts the
+    iterative lineage exactly as in :func:`connected_components`.
+    """
+    und = (
+        edges.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+        .unionByName(
+            edges.select(F.col("obj").alias("u"), F.col("subj").alias("v"))
+        )
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for i in range(n_iter):
+        votes = (
+            labels.join(und, labels["node"] == und["u"])
+            .groupBy(F.col("v").alias("dst"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        new_labels = (
+            votes.groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"), F.col("label").alias("l")
+                    )
+                ).alias("w")
+            )
+            .select("node", F.col("w.l").alias("label"))
+        )
+        if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
+            new = track(new_labels.localCheckpoint(eager=True))
+        else:
+            new = new_labels.persist()
+            new.count()
+        labels.unpersist()
+        labels = new
+    track(und)
+    return labels

@@ -401,3 +401,25 @@ def test_sssp_iteration_cap_is_hop_bound(spark):
     got = {r["node"]: r["dist"]
            for r in sssp(chain, src, n_iter=2).collect()}
     assert got == {"a": 0.0, "b": 1.0, "c": 2.0}  # d needs 3 rounds
+
+
+def test_label_propagation_barbell_two_communities(spark):
+    from riksdagen_sentences_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    # two triangles bridged by 3-4: one CC, but two LPA communities
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "subj long, obj long",
+    )
+    got = {r.node: r.label for r in
+           label_propagation(edges, n_iter=3).collect()}
+    # hand-unrolled synchronous rounds (see docstring semantics):
+    # l1 = {1:2, 2:1, 3:1, 4:3, 5:4, 6:4}
+    # l2 = {1:1, 2:1, 3:1, 4:4, 5:3, 6:3}
+    # l3 = {1:1, 2:1, 3:1, 4:3, 5:3, 6:3}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+    cc = connected_components(edges)
+    assert cc.select("component").distinct().count() == 1
