@@ -1,0 +1,144 @@
+"""Mergeable sketches as deterministic column algebra: HyperLogLog
+cardinality and Count-Min heavy-hitter estimation.
+
+At 100 TB, exact COUNT(DISTINCT) and exact per-token frequency tables
+are shuffle-bound; sketches turn both into one map-side-combinable
+aggregation whose state is constant-size (256 registers / a 4x64
+counter grid).  Spark's built-in approx_count_distinct is the
+production default - THESE implementations exist because they are
+hash-deterministic (md5-based, no RNG, no JVM-version dependence), so
+the DuckDB oracle reproduces the estimate EXACTLY, putting the sketch
+math itself - not just a tolerance band - under the correctness gate.
+
+Determinism over FP association: the HLL denominator sum_j 2^(-M_j) is
+computed as the INTEGER sum_j 2^(53 - M_j) (every term a power of two
+<= 2^53, at most m=256 terms, so it fits BIGINT exactly) and the final
+estimate is ONE double division of two exact numbers - bit-identical
+regardless of aggregation order or engine.  Count-Min is all-integer.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HLL_P = 8                      # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+HLL_HASH_BITS = 60             # 15 md5 hex digits, exact in BIGINT
+HLL_W_BITS = HLL_HASH_BITS - HLL_P
+# alpha_m * m^2 * 2^53 - the full numerator as ONE double literal, so
+# both engines do a single division K / S (see module docstring)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+HLL_K = HLL_ALPHA * HLL_M * HLL_M * float(1 << 53)
+
+CM_DEPTH = 4                   # hash rows
+CM_WIDTH = 64                  # counters per row
+
+
+def _fold60(col: Column, salt: str = "") -> Column:
+    """First 15 hex digits of md5(salt || value) as exact BIGINT."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def hll_register_maxima(keys: DataFrame, key_col: str = "key") -> DataFrame:
+    """(register, max_rho) over the key set - the mergeable HLL state.
+
+    register = low 8 bits of the 60-bit fold; rho = leading-zero count
+    of the remaining 52 bits + 1 (computed as 53 - bitlength, which
+    both engines express as length(bin(w)) - no FP log2 near
+    power-of-two boundaries).
+    """
+    h = _fold60(F.col(key_col))
+    reg = (h % HLL_M).alias("register")
+    # integer shift, NOT (h - h%m)/m: the double round-trip loses
+    # exactness above 2^53 and the 60-bit fold exceeds that
+    w = F.shiftright(h, HLL_P)
+    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+    return (
+        keys.select(reg, rho.alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(maxima: DataFrame) -> DataFrame:
+    """One row (estimate, registers_used) from the register maxima.
+
+    Raw estimate = K / S with S = V * 2^53 + sum(2^(53 - max_rho))
+    (V = empty registers, each contributing 2^-0); the standard
+    small-range correction switches to linear counting m * ln(m / V)
+    when raw <= 2.5 m and V > 0.
+    """
+    # F.shiftleft's numBits parameter only takes a Python int; the SQL
+    # function accepts a column shift, so go through expr()
+    s_present = F.sum(F.expr("shiftleft(1L, 53 - max_rho)"))
+    agg = maxima.agg(
+        s_present.alias("s_present"),
+        F.count("*").alias("used"),
+    )
+    v = F.lit(HLL_M) - F.col("used")
+    s = F.col("s_present") + v * F.lit(1 << 53).cast("bigint")
+    raw = F.lit(HLL_K) / s.cast("double")
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        (F.floor(est * 100.0 + F.lit(0.5)) / 100.0).alias("estimate"),
+        F.col("used").alias("registers_used"),
+    )
+
+
+def cm_sketch(items: DataFrame, item_col: str = "item") -> DataFrame:
+    """(row, bucket, c) counter grid - the mergeable Count-Min state.
+
+    One union of CM_DEPTH bucket projections + one map-side-combined
+    count; the grid is CM_DEPTH x CM_WIDTH rows total, broadcastable
+    anywhere.
+    """
+    parts = [
+        items.select(
+            F.lit(r).alias("row"),
+            (_fold60(F.col(item_col), f"cm{r}:") % CM_WIDTH).alias("bucket"),
+        )
+        for r in range(CM_DEPTH)
+    ]
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    return un.groupBy("row", "bucket").agg(F.count("*").alias("c"))
+
+
+def cm_query(sketch: DataFrame, probes: DataFrame,
+             probe_col: str = "item") -> DataFrame:
+    """(item, cm_estimate) - min over the CM_DEPTH counters each probe
+    hashes to.  Probes with an untouched counter estimate 0 via the
+    left join's coalesce (the sketch stores no zero cells)."""
+    keyed = probes.select(
+        F.col(probe_col).alias("item"),
+        *[
+            (_fold60(F.col(probe_col), f"cm{r}:") % CM_WIDTH).alias(f"b{r}")
+            for r in range(CM_DEPTH)
+        ],
+    )
+    out = keyed
+    for r in range(CM_DEPTH):
+        sk = sketch.filter(F.col("row") == r).select(
+            F.col("bucket").alias(f"b{r}"), F.col("c").alias(f"c{r}")
+        )
+        out = out.join(F.broadcast(sk), f"b{r}", "left")
+    est = F.least(
+        *[F.coalesce(F.col(f"c{r}"), F.lit(0)) for r in range(CM_DEPTH)]
+    )
+    return out.select("item", est.alias("cm_estimate"))
+
+
+def _self_check() -> None:  # pragma: no cover - documentation invariant
+    assert HLL_K == 0.7213 / (1.0 + 1.079 / 256) * 256 * 256 * 2.0**53
+    assert math.isfinite(HLL_K)

@@ -1173,6 +1173,7 @@ _register(
 from ..operators import neardup as ND  # noqa: E402
 from ..operators import similarity as SIM  # noqa: E402
 from ..operators import textstats as TS  # noqa: E402
+from ..operators.sketch import HLL_K  # noqa: E402
 
 _NORM_SQL = (
     "trim(regexp_replace(lower(text), '[\\t\\n\\f\\r\\x0B ]+', ' ', 'g'), "
@@ -4412,6 +4413,136 @@ _register(
     "entity_lpa_communities",
     _entity_lpa,
     _lpa_sql(_LPA_ITER),
+)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sketches (operators/sketch.py): md5-based HyperLogLog
+# and Count-Min, so the ESTIMATES themselves - not a tolerance band -
+# sit under the oracle.  The HLL denominator is summed as exact BIGINT
+# powers of two and the estimate is one double division of two exact
+# numbers, so FP aggregation order cannot move the hash.
+# ---------------------------------------------------------------------------
+
+_SKETCH_TOK = (
+    "SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token "
+    "FROM documents"
+)
+
+
+def _hll_token_cardinality(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import sketch as SK
+
+    toks = (
+        _read(spark, sf, "documents")
+        .select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("key")
+        )
+        .filter(F.col("key") != "")
+    )
+    distinct = toks.distinct()
+    est = SK.hll_estimate(SK.hll_register_maxima(distinct))
+    exact = distinct.agg(F.count("*").alias("exact_distinct"))
+    return est.crossJoin(exact)
+
+
+_register(
+    "hll_token_cardinality",
+    _hll_token_cardinality,
+    f"""
+WITH toks AS (SELECT DISTINCT token FROM ({_SKETCH_TOK})
+              WHERE token <> ''),
+h AS (SELECT CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT)
+        AS hh FROM toks),
+rr AS (SELECT hh % 256 AS register,
+              CASE WHEN (hh >> 8) = 0 THEN 53
+                   ELSE 53 - length(bin(hh >> 8)) END AS rho
+       FROM h),
+mx AS (SELECT register, MAX(rho) AS max_rho FROM rr GROUP BY 1),
+agg AS (SELECT SUM(1::BIGINT << (53 - max_rho)) AS s_present,
+               COUNT(*) AS used FROM mx),
+raws AS (SELECT {HLL_K!r} /
+           CAST(s_present + (256 - used) * (1::BIGINT << 53) AS DOUBLE)
+           AS raw,
+         256 - used AS v, used FROM agg),
+est AS (SELECT CASE WHEN raw <= 640.0 AND v > 0
+                    THEN 256.0 * ln(256.0 / v) ELSE raw END AS e, used
+        FROM raws)
+SELECT floor(e * 100.0 + 0.5) / 100.0 AS estimate,
+       used AS registers_used,
+       (SELECT COUNT(*) FROM toks) AS exact_distinct
+FROM est
+""",
+)
+
+
+_CM_PROBES = ("join", "hash", "scan", "zebra")
+
+
+def _cm_token_frequency_probes(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import sketch as SK
+
+    toks = (
+        _read(spark, sf, "documents")
+        .select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("item")
+        )
+        .filter(F.col("item") != "")
+    )
+    sk = SK.cm_sketch(toks)
+    probes = spark.createDataFrame(
+        [(p,) for p in _CM_PROBES], "item string"
+    )
+    est = SK.cm_query(sk, probes)
+    true = (
+        toks.join(F.broadcast(probes), "item")
+        .groupBy("item")
+        .agg(F.count("*").alias("true_count"))
+    )
+    return (
+        est.join(true, "item", "left")
+        .select(
+            "item",
+            F.coalesce("true_count", F.lit(0)).alias("true_count"),
+            "cm_estimate",
+        )
+    )
+
+
+def _cm_sql() -> str:
+    probe_vals = ", ".join(f"('{p}')" for p in _CM_PROBES)
+    depth, width = 4, 64
+    fold = (
+        "CAST(concat('0x', substr(md5('cm{r}:' || {v}), 1, 15)) AS BIGINT)"
+        " % " + str(width)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS row, {fold.format(r=r, v='item')} AS bucket "
+        "FROM toks"
+        for r in range(depth)
+    )
+    mins = ", ".join(
+        f"COALESCE((SELECT c FROM grid g WHERE g.row = {r} "
+        f"AND g.bucket = {fold.format(r=r, v='p.item')}), 0)"
+        for r in range(depth)
+    )
+    return f"""
+WITH toks AS (SELECT token AS item FROM ({_SKETCH_TOK})
+              WHERE token <> ''),
+grid AS (SELECT row, bucket, COUNT(*) AS c FROM ({rows}) GROUP BY 1, 2),
+probes(item) AS (VALUES {probe_vals})
+SELECT p.item,
+       COALESCE((SELECT COUNT(*) FROM toks t WHERE t.item = p.item), 0)
+         AS true_count,
+       LEAST({mins}) AS cm_estimate
+FROM probes p
+"""
+
+
+_register(
+    "cm_token_frequency_probes",
+    _cm_token_frequency_probes,
+    _cm_sql(),
 )
 
 
