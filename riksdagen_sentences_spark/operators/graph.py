@@ -70,13 +70,19 @@ def connected_components(
     propagation is preferred here because contraction's per-round cost
     is ~2x and never pays off at diameter <= ~6.
     """
+    # localCheckpoint, not persist: persist caches DATA but every
+    # round's plan still textually inlines the full upstream lineage
+    # (an LSH verified-pairs input contributes ~400 nodes), so 20
+    # rounds explode the executed plan to tens of thousands of nodes -
+    # pure driver-side analysis cost.  The checkpoint leaf (Scan
+    # ExistingRDD) severs it once, exactly as pagerank's cedges.
     sym = (
         edges.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
         .unionByName(
             edges.select(F.col("obj").alias("a"), F.col("subj").alias("b"))
         )
         .dropDuplicates(["a", "b"])
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -122,7 +128,7 @@ def connected_components(
         if changed == 0:
             converged = True
             break
-    sym.unpersist()
+    track(sym)  # checkpoint blocks: freed by release_intermediates()
     track(labels)  # released by cache.release_intermediates() after use
     if not converged:
         labels.unpersist()

@@ -4218,7 +4218,10 @@ def _leakage_safe_split_stats(spark, sf):
     from ..operators.curation import leakage_safe_split
 
     docs = _read(spark, sf, "documents")
-    pairs = ND.lsh_verified_pairs(docs, threshold=0.2)
+    # pairs feeds the component build AND the cross-split invariant
+    # join; persist so the LSH lineage runs once (and its ~400-node
+    # plan isn't re-inlined by every consumer)
+    pairs = _track(ND.lsh_verified_pairs(docs, threshold=0.2).persist())
     asg = leakage_safe_split(docs, pairs)
     per = asg.groupBy("split").agg(
         F.count("*").alias("n_docs"),
