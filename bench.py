@@ -347,6 +347,19 @@ def main() -> None:
     timed("delta_update_reuse_100k", q_delta_reuse)
     shutil.rmtree(delta_store, ignore_errors=True)
 
+    # q10: HEAD-snapshot extraction over a 1M-row commit history (50k
+    # files x 20 commits) - the first operator any code-corpus consumer
+    # runs.  The map-side max(struct) combine means shuffle bytes scale
+    # with FILES, not commits; the artifact pins the row count.
+    def q_repo_snapshot():
+        from riksdagen_sentences_spark.operators.repo import latest_snapshot
+        from riksdagen_sentences_spark.sources.synth import files_history
+
+        hist = files_history(spark, n_repos=200, n_paths=250, n_commits=20)
+        extras["snapshot_files"] = latest_snapshot(hist).count()
+
+    timed("repo_snapshot_1m", q_repo_snapshot, repeats=2)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
