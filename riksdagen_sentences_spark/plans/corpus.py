@@ -4550,6 +4550,62 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Streaming session windows (streaming/incremental.py): native stateful
+# sessionization (F.session_window) through a REAL micro-batch replay -
+# sessions spanning slice boundaries must be merged by the state store.
+# Oracle = batch gap sessionization with break iff diff > gap: Spark
+# MERGES an event landing at exactly last + gap (inclusive bound,
+# pinned by test_session_window_merges_at_exact_gap - random fixtures
+# could never catch the boundary).  end = last event + gap.
+# ---------------------------------------------------------------------------
+
+from ..streaming.incremental import replay_session_counts  # noqa: E402
+
+_register(
+    "streaming_session_counts_replay",
+    lambda spark, sf: replay_session_counts(
+        spark, _read(spark, sf, "events"), gap="30 minutes", n_slices=4
+    ).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "n",
+        "total_value",
+    ),
+    """
+WITH o AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN prev IS NULL
+                   OR ts - prev > INTERVAL '30 minutes'
+                 THEN 1 ELSE 0 END AS brk
+  FROM o
+),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL '30 minutes',
+                '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, sid
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 entries of

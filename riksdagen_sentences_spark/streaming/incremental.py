@@ -481,3 +481,85 @@ def _replay_dedup_events(
         lambda stream: stream.withWatermark("ts", delay)
         .dropDuplicatesWithinWatermark(["event_id"]),
     )
+
+
+def streaming_session_counts(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked SESSION-window aggregation (F.session_window): state
+    merges adjacent windows as events arrive and a session closes when
+    event time advances ``gap`` past its last event - Spark's native
+    stateful sessionization, the streaming twin of the batch
+    ``temporal.sessionize`` gap rule.  Merge bound is INCLUSIVE: an
+    event at exactly last + gap still merges (pinned by
+    test_session_window_merges_at_exact_gap; the SQL oracle breaks on
+    diff > gap accordingly)."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window(F.col("ts"), gap))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+def replay_session_counts(
+    spark: SparkSession,
+    events: DataFrame,
+    gap: str = "30 minutes",
+    n_slices: int = 4,
+) -> DataFrame:
+    """Drive :func:`streaming_session_counts` through a REAL
+    micro-batch stream: all events arrive on time across ``n_slices``
+    time-ordered slices (so sessions spanning slice boundaries MUST be
+    merged by the state store, not within one batch), then a far-future
+    sentinel advances the watermark past every session end so append
+    mode flushes everything.  The result must equal the batch gap
+    sessionization over ALL events - the exact-SQL oracle for
+    ``streaming_session_counts_replay``."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    work = tempfile.mkdtemp(prefix="sgraft_sessreplay_")
+    try:
+        os.makedirs(os.path.join(work, "in"))
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+        order = Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        sliced = events.withColumn("__slice", F.ntile(n_slices).over(order))
+        for k in range(1, n_slices + 1):
+            _stage_slice(
+                sliced.filter(F.col("__slice") == k).drop("__slice"),
+                work, k,
+            )
+        max_ts = events.agg(F.max("ts")).first()[0]
+        sentinel = spark.createDataFrame(
+            [(-1, max_ts + datetime.timedelta(days=1), -1,
+              "__sentinel__", 0.0, "{}")],
+            schema=events.schema,
+        )
+        _stage_slice(sentinel, work, n_slices + 1)
+        out = _drain_append_stream(
+            spark,
+            work,
+            events.schema,
+            lambda stream: streaming_session_counts(stream, gap, gap),
+        )
+        return out.filter(F.col("user_id") != -1)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

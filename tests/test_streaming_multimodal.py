@@ -263,3 +263,58 @@ def test_dedup_within_watermark_suppresses_and_evicts(spark):
     # shifted-ts duplicates were suppressed: no row carries a +1 minute
     # timestamp (rows are on exact hours; dupes were planted at +1 min)
     assert all(r["ts"].minute == 0 for r in out if r["event_id"] != 0)
+
+
+def test_session_window_merges_at_exact_gap(spark):
+    import datetime
+
+    from riksdagen_sentences_spark.streaming.incremental import (
+        streaming_session_counts,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 1.0),
+        (1, t0 + datetime.timedelta(seconds=100), 2.0),
+        # EXACTLY gap after the previous event: Spark session_window
+        # still merges (inclusive bound) - the oracle's `diff > gap`
+        # break rule encodes this; `>=` would silently split here
+        (1, t0 + datetime.timedelta(seconds=100 + 1800), 4.0),
+        # gap + 1s: genuinely a new session
+        (1, t0 + datetime.timedelta(seconds=100 + 1800 + 1801), 16.0),
+        (2, t0, 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    got = sorted(
+        (r.user_id, r.n, r.total_value)
+        for r in streaming_session_counts(df, "30 minutes").collect()
+    )
+    assert got == [(1, 1, 16.0), (1, 3, 7.0), (2, 1, 8.0)]
+
+
+def test_session_replay_merges_across_slices(spark):
+    import datetime
+
+    from riksdagen_sentences_spark.streaming.incremental import (
+        replay_session_counts,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    # one user, 8 events 10 min apart: ONE session, but sliced into 4
+    # micro-batches - the state store must merge partial sessions
+    # across batches
+    rows = [
+        (i, t0 + datetime.timedelta(minutes=10 * i), 7, "view", 1.0, "{}")
+        for i in range(8)
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, payload string",
+    )
+    out = replay_session_counts(spark, events, gap="30 minutes",
+                                n_slices=4).collect()
+    assert len(out) == 1
+    assert out[0].n == 8 and out[0].total_value == 8.0
