@@ -4606,6 +4606,33 @@ FROM s GROUP BY user_id, sid
 
 
 # ---------------------------------------------------------------------------
+# Stream-stream interval join (streaming/incremental.py): watermarked
+# view -> purchase attribution pairs through TWO independent file
+# sources stepping through the same time-ordered micro-batches -
+# cross-batch matches must come from the join state store.  Inner
+# interval joins emit on match; time-ordered arrival + watermark ==
+# join horizon means eviction can never kill a future match (proof in
+# the replay docstring).  Oracle = the batch interval join.
+# ---------------------------------------------------------------------------
+
+from ..streaming.incremental import replay_view_purchase_pairs  # noqa: E402
+
+_register(
+    "streaming_view_purchase_pairs",
+    lambda spark, sf: replay_view_purchase_pairs(
+        spark, _read(spark, sf, "events"), within="8 hours", n_slices=4
+    ),
+    """
+SELECT v.user_id, v.event_id AS view_event, p.event_id AS purchase_event
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '8 hours'
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 entries of

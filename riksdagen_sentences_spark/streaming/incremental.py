@@ -563,3 +563,102 @@ def replay_session_counts(
         return out.filter(F.col("user_id") != -1)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def streaming_view_purchase_pairs(
+    views_stream: DataFrame,
+    purchases_stream: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-STREAM interval join: every (view, purchase) pair of the
+    same user with the purchase inside ``[view.ts, view.ts + within]``.
+    Both sides are watermarked and the join carries the event-time
+    range constraint, so Spark can bound and evict join state - the
+    attribution-join shape (ad view -> conversion) that at 100 TB/day
+    only works BECAUSE state is time-bounded."""
+    v = views_stream.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_event"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = purchases_stream.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_event"),
+        F.col("ts").alias("p_ts"),
+    )
+    return v.join(
+        p,
+        F.expr(
+            "v_user = p_user AND p_ts >= v_ts "
+            f"AND p_ts <= v_ts + interval {within}"
+        ),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_event",
+        "purchase_event",
+    )
+
+
+def replay_view_purchase_pairs(
+    spark: SparkSession,
+    events: DataFrame,
+    within: str = "30 minutes",
+    n_slices: int = 4,
+) -> DataFrame:
+    """Drive the interval join through a REAL micro-batch stream: two
+    independent file sources over the same time-ordered slices (views
+    and purchases step through batches together), so cross-batch
+    matches MUST come out of the join state store.  Inner interval
+    joins emit on match - no sentinel flush needed; time-ordered
+    arrival + watermark == join horizon means state eviction can never
+    kill a future match (an evicted view's window is already out of
+    range for every later purchase).  Result must equal the batch
+    interval join - the oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    work = tempfile.mkdtemp(prefix="sgraft_ssjoin_")
+    try:
+        os.makedirs(os.path.join(work, "in"))
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+        order = Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        sliced = events.withColumn(
+            "__slice", F.ntile(n_slices).over(order)
+        )
+        for k in range(1, n_slices + 1):
+            _stage_slice(
+                sliced.filter(F.col("__slice") == k).drop("__slice"),
+                work, k,
+            )
+        in_dir = os.path.join(work, "in")
+        out_dir = os.path.join(work, "out")
+
+        def src():
+            return (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(in_dir)
+            )
+
+        joined = streaming_view_purchase_pairs(
+            src().filter(F.col("event_type") == "view"),
+            src().filter(F.col("event_type") == "purchase"),
+            within=within,
+            watermark=within,
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

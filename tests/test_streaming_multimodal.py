@@ -318,3 +318,41 @@ def test_session_replay_merges_across_slices(spark):
                                 n_slices=4).collect()
     assert len(out) == 1
     assert out[0].n == 8 and out[0].total_value == 8.0
+
+
+def test_stream_stream_join_matches_across_batches(spark):
+    import datetime
+
+    from riksdagen_sentences_spark.streaming.incremental import (
+        replay_view_purchase_pairs,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, mins, user, etype):
+        return (eid, t0 + datetime.timedelta(minutes=mins), user, etype,
+                1.0, "{}")
+
+    rows = [
+        ev(1, 0, 7, "view"),        # earliest -> lands in slice 1
+        ev(2, 5, 8, "view"),
+        ev(3, 10, 9, "click"),      # filler so slices separate
+        ev(4, 15, 9, "click"),
+        ev(5, 20, 9, "click"),
+        ev(6, 25, 7, "purchase"),   # 25 min after view 1: in window,
+                                    # arrives 3 batches later
+        ev(7, 50, 8, "purchase"),   # 45 min after view 2: OUT of window
+        ev(8, 55, 9, "click"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, payload string",
+    )
+    got = {
+        (r.user_id, r.view_event, r.purchase_event)
+        for r in replay_view_purchase_pairs(
+            spark, events, within="30 minutes", n_slices=4
+        ).collect()
+    }
+    assert got == {(7, 1, 6)}
