@@ -4159,6 +4159,36 @@ _register(
 )
 
 
+# Time travel: the snapshot AS OF an earlier commit ordinal (the
+# Iceberg snapshot-id / timestamp-travel analog) is the SAME operator
+# over a filtered history - predicate pushdown makes it a cheaper scan,
+# not a different algorithm.
+_ASOF_SEQ = 3
+
+
+def _repo_snapshot_asof(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import repo as R
+    from ..sources.synth import files_history
+
+    del sf
+    hist = files_history(spark).filter(F.col("commit_seq") <= _ASOF_SEQ)
+    return R.latest_snapshot(hist)
+
+
+_register(
+    "repo_snapshot_asof",
+    _repo_snapshot_asof,
+    f"""
+WITH fh AS ({_files_history_sql()}),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY repo, path
+        ORDER BY commit_seq DESC, commit DESC) AS rn
+      FROM fh WHERE commit_seq <= {_ASOF_SEQ})
+SELECT repo, path, commit, commit_seq, lang, content FROM r WHERE rn = 1
+""",
+)
+
+
 def _cross_repo_clone_groups(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators import repo as R
     from ..sources.synth import files_history

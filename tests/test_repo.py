@@ -54,3 +54,15 @@ def test_language_breakdown_shares(spark):
     for r in per_repo:
         assert r.files == 30
         assert abs(r.total - 1.0) < 0.001  # floor-rounding slack
+
+
+def test_snapshot_asof_travels_to_earlier_content(spark):
+    from pyspark.sql import functions as F
+
+    fh = files_history(spark)
+    asof = R.latest_snapshot(fh.filter(F.col("commit_seq") <= 3))
+    rows = asof.collect()
+    assert len(rows) == 6 * 30
+    assert {r.commit_seq for r in rows} == {3}
+    # content version at seq 3 is v1, not HEAD's v2
+    assert all(r.content.endswith("# v1") for r in rows)
