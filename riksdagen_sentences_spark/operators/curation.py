@@ -337,3 +337,45 @@ def leakage_safe_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def exact_quota_sample(
+    docs: DataFrame,
+    frac_num: int = 1,
+    frac_den: int = 5,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(strata, id, rnk): EXACT-quota deterministic stratified sample -
+    within each stratum, rows are ranked by md5(id) (a fixed, seedless,
+    engine-portable permutation) and the first floor(n · num/den) are
+    kept.
+
+    ``stratified_sample`` (Bernoulli on the same md5 arithmetic) hits
+    the target fraction only in expectation; a mixture recipe with a
+    hard per-source token budget needs the quota EXACT, which costs one
+    rank.  All comparisons are integer (rnk · den <= n · num), so the
+    kept set is bit-identical across engines and cluster sizes.
+
+    Scale shape: one window per stratum (row_number + count over the
+    stratum partition - a single shuffle on the stratum key).  Strata
+    are coarse (sources, domains), so per-partition width is the
+    stratum size: for billion-row strata switch to the two-pass variant
+    (aggregate exact counts, broadcast, then filter on the same md5
+    rank order via a per-stratum threshold) - same semantics, no wide
+    window."""
+    from pyspark.sql.window import Window
+
+    order = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(order.asc(),
+                                               F.col(id_col).asc())
+    wc = Window.partitionBy(strata_col)
+    ranked = docs.select(
+        F.col(strata_col).alias("strata"),
+        F.col(id_col).alias("id"),
+        F.row_number().over(w).alias("rnk"),
+        F.count("*").over(wc).alias("n_str"),
+    )
+    return ranked.filter(
+        F.col("rnk") * F.lit(frac_den) <= F.col("n_str") * F.lit(frac_num)
+    ).select("strata", "id", "rnk")

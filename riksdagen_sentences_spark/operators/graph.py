@@ -558,6 +558,56 @@ def sssp(
     return dist
 
 
+def kcore_nodes(
+    edges: DataFrame,
+    k: int = 2,
+    n_iter: int = 3,
+) -> DataFrame:
+    """(node,) - nodes still alive after exactly ``n_iter`` synchronous
+    rounds of k-core peeling over the undirected simple graph given as
+    (subj, obj) pairs (duplicates/direction collapsed).
+
+    Peeling round: drop every node whose degree *within the surviving
+    subgraph* is < k; repeat.  The fixed-round synchronous variant (same
+    contract as :func:`label_propagation` / :func:`sssp`) keeps the
+    recurrence pure join/aggregate algebra so a SQL oracle can unroll it
+    round by round; run more rounds for the true fixpoint (peeling
+    converges in at most |V| rounds, in practice a handful).
+
+    Scale shape: per round two left-semi joins of the checkpointed edge
+    list against the (much smaller) alive set - broadcastable once
+    peeling bites - and one map-side-combined degree aggregate.
+    ``localCheckpoint`` cuts the iterative lineage as in the other
+    fixed-round operators."""
+    und = track(
+        edges.select(F.col("subj").alias("u"), F.col("obj").alias("v"))
+        .unionByName(
+            edges.select(F.col("obj").alias("u"), F.col("subj").alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint(eager=True)
+    )
+    alive = track(
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        surv = (
+            und.join(alive.select(F.col("node").alias("u")), "u", "left_semi")
+            .join(alive.select(F.col("node").alias("v")), "v", "left_semi")
+        )
+        alive = track(
+            surv.groupBy(F.col("u").alias("node"))
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= k)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+    return alive
+
+
 def label_propagation(
     edges: DataFrame,
     n_iter: int = 3,

@@ -583,3 +583,105 @@ def component_dedup(
         .select(F.col("node").alias(id_col))
     )
     return docs.join(dropped, on=id_col, how="left_anti")
+
+
+def prefix_jaccard_pairs(
+    docs: DataFrame,
+    t_num: int = 3,
+    t_den: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(a, b, isz, usz, jac_r): ALL document pairs whose word-SHINGLE
+    set Jaccard similarity is >= t_num/t_den, found without an
+    all-pairs join via AllPairs/PPJoin-style prefix filtering - the
+    EXACT counterpart of the probabilistic MinHash+LSH pipeline (same
+    SHINGLE_K-gram sets), with a deterministic no-missed-pairs
+    guarantee instead of a banding recall bound.
+
+    Under any global total order on tokens, a pair with |x ∩ y| >= α
+    must share a token inside each set's first |set| - α + 1 tokens
+    (if the smallest common token sat outside x's prefix, ALL common
+    tokens would sit in x's (α-1)-sized suffix - contradiction).  With
+    J(x,y) >= t it holds that |x ∩ y| >= ceil(t·|x|) and ceil(t·|y|),
+    so joining on prefix tokens of length |x| - ceil(t·|x|) + 1 yields
+    a candidate set that provably contains every qualifying pair; exact
+    Jaccard is then verified on candidates only.  The global order is
+    (document frequency ASC, token ASC): rare-first prefixes keep the
+    candidate join sparse - the hottest token lands in almost no prefix.
+
+    The threshold is a RATIONAL t_num/t_den and every filter compares
+    integers (ceil(t·n) = (t_num·n + t_den - 1) // t_den;
+    J >= t  <=>  t_den·isz >= t_num·usz), so Spark and a SQL oracle
+    agree bit-for-bit; the reported jac_r = floor(isz/usz·1e4 + 0.5)/1e4
+    is one double division of two exact integers.
+
+    Scale shape: one explode + distinct for the token sets, one hash
+    aggregate for document frequency, one row_number window per doc
+    (partitioned by doc - no global sort), a candidate join keyed on
+    prefix tokens (linear in per-token prefix occurrence, the quantity
+    prefix filtering minimizes), and a verify join restricted to
+    candidates.  The all-pairs ``ngram_jaccard_pairs`` baseline is what
+    this replaces at scale.
+    """
+    from pyspark.sql.window import Window
+
+    toks = (
+        _doc_shingles(docs.withColumnRenamed(id_col, "doc_id"), text_col)
+        .select(F.col("doc_id").alias("doc"), F.col("shingle").alias("term"))
+        .persist()
+    )
+    sizes = toks.groupBy("doc").agg(F.count("*").alias("sz"))
+    dfreq = toks.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc").orderBy(
+        F.col("df").asc(), F.col("term").asc()
+    )
+    ranked = (
+        toks.join(dfreq, "term")
+        .withColumn("r", F.row_number().over(w))
+        .join(sizes, "doc")
+    )
+    # prefix length = sz - ceil(t*sz) + 1, all-integer
+    alpha = F.floor(
+        (F.lit(t_num) * F.col("sz") + F.lit(t_den - 1)) / F.lit(t_den)
+    )
+    pref = ranked.filter(F.col("r") <= F.col("sz") - alpha + 1).select(
+        "doc", "term"
+    )
+    cand = (
+        pref.select(F.col("doc").alias("a"), "term")
+        .join(pref.select(F.col("doc").alias("b"), "term"), "term")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    inter = (
+        cand.join(toks.select(F.col("doc").alias("a"), "term"), "a")
+        .join(toks.select(F.col("doc").alias("b"), "term"), ["b", "term"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("isz"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col("doc").alias("a"), F.col("sz").alias("sza")),
+            "a",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("b"), F.col("sz").alias("szb")),
+            "b",
+        )
+        .withColumn("usz", F.col("sza") + F.col("szb") - F.col("isz"))
+        .filter(
+            F.lit(t_den) * F.col("isz") >= F.lit(t_num) * F.col("usz")
+        )
+        .select(
+            "a", "b", "isz", "usz",
+            (
+                F.floor(
+                    F.col("isz") / F.col("usz") * 10000.0 + F.lit(0.5)
+                ) / 10000.0
+            ).alias("jac_r"),
+        )
+    )
+    track(toks)
+    return out

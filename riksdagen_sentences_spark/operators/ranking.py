@@ -131,6 +131,63 @@ def bm25_scores(
     )
 
 
+def doc_bigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, n_bigrams, avg_lp_r): per-document average log probability
+    of its adjacent-token bigrams under the corpus-wide add-one-smoothed
+    bigram LM,
+
+        lp(w1, w2) = ln( (n(w1,w2) + 1) / (c1(w1) + V) )
+
+    with V = corpus vocabulary size - the classic LM-based quality
+    signal (a document whose word transitions the corpus model finds
+    surprising scores low; boilerplate scores high).  Rounded half-up at
+    4 dp AFTER the single sum/count division, so the window/order is
+    engine-portable; the model is built from the same corpus, so every
+    document bigram has a model row (smoothing still shifts the
+    estimate exactly as a held-out scorer would).
+
+    Scale shape: one explode, one lead() window per doc, two hash
+    aggregates for the model, then a join of doc bigrams against the
+    model on (w1, w2) - both sides already pair-partitioned after the
+    aggregate - and a final per-doc aggregate.  No per-row Python."""
+    terms = doc_terms(docs, id_col, text_col)
+    w = Window.partitionBy("doc").orderBy(F.col("idx").asc())
+    big = (
+        terms.select(
+            "doc",
+            F.col("term").alias("w1"),
+            F.lead("term").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    model = big.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    marg = model.groupBy("w1").agg(F.sum("n").alias("c1"))
+    vocab = terms.select("term").distinct().agg(
+        F.count("*").cast("double").alias("vsize")
+    )
+    lp = (
+        big.join(model, ["w1", "w2"])
+        .join(marg, "w1")
+        .crossJoin(vocab)
+        .select(
+            "doc",
+            F.log(
+                (F.col("n") + 1.0) / (F.col("c1") + F.col("vsize"))
+            ).alias("lp"),
+        )
+    )
+    return lp.groupBy("doc").agg(
+        F.count("*").alias("n_bigrams"),
+        (
+            F.floor(
+                F.sum("lp") / F.count("*") * 10000.0 + F.lit(0.5)
+            ) / 10000.0
+        ).alias("avg_lp_r"),
+    )
+
+
 def bigram_counts(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -139,6 +139,112 @@ def cm_query(sketch: DataFrame, probes: DataFrame,
     return out.select("item", est.alias("cm_estimate"))
 
 
+def hll_register_maxima_grouped(
+    keys: DataFrame, group_col: str, key_col: str = "key"
+) -> DataFrame:
+    """(group, register, max_rho) - per-group mergeable HLL state: the
+    same fold/rho arithmetic as :func:`hll_register_maxima` keyed by an
+    extra group column.  This is the GROUP BY form of the sketch - the
+    shape that replaces COUNT(DISTINCT x) GROUP BY g at 100 TB, where
+    the exact version shuffles every (g, x) pair and this shuffles at
+    most 256 rows per group."""
+    h = _fold60(F.col(key_col))
+    reg = (h % HLL_M).alias("register")
+    w = F.shiftright(h, HLL_P)
+    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+    return (
+        keys.select(F.col(group_col).alias("grp"), reg, rho.alias("rho"))
+        .groupBy("grp", "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate_grouped(maxima: DataFrame) -> DataFrame:
+    """(grp, estimate, registers_used) from per-group register maxima -
+    the same exact-integer denominator and single double division as
+    :func:`hll_estimate`, per group."""
+    s_present = F.sum(F.expr("shiftleft(1L, 53 - max_rho)"))
+    agg = maxima.groupBy("grp").agg(
+        s_present.alias("s_present"),
+        F.count("*").alias("used"),
+    )
+    v = F.lit(HLL_M) - F.col("used")
+    s = F.col("s_present") + v * F.lit(1 << 53).cast("bigint")
+    raw = F.lit(HLL_K) / s.cast("double")
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        "grp",
+        (F.floor(est * 100.0 + F.lit(0.5)) / 100.0).alias("estimate"),
+        F.col("used").alias("registers_used"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: the runtime-filter / semi-join-pruning sketch.  Spark's
+# own injected runtime bloom (spark.sql.optimizer.runtimeFilter.*) is
+# the production default; this explicit one is deterministic (md5, no
+# JVM hash seed) so the DuckDB oracle reproduces the EXACT bit set -
+# false positives included - putting the filter math itself under the
+# correctness gate.  The bit set is stored sparsely as distinct
+# (r, pos) coordinates: at most BLOOM_K rows per member, broadcastable,
+# and mergeable by simple union.
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1024                 # bit positions per hash row
+BLOOM_K = 3                    # independent hash functions
+
+
+def bloom_bits(keys: DataFrame, key_col: str = "key") -> DataFrame:
+    """(r, pos) - the distinct set-bit coordinates of the Bloom filter
+    over the member key set (r = hash index 0..BLOOM_K-1)."""
+    parts = [
+        keys.select(
+            F.lit(r).alias("r"),
+            (_fold60(F.col(key_col), f"bloom{r}:") % BLOOM_M).alias("pos"),
+        )
+        for r in range(BLOOM_K)
+    ]
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    return un.dropDuplicates(["r", "pos"])
+
+
+def bloom_probe(
+    probes: DataFrame, bits: DataFrame, probe_col: str = "key"
+) -> DataFrame:
+    """(key, hits) - how many of the probe's BLOOM_K positions are set;
+    a key passes the filter iff hits == BLOOM_K.  Guarantees no false
+    negatives (every member's positions are set by construction); false
+    positives are the sketch's price and are DETERMINISTIC here.  The
+    bit table is broadcast - the probe side never shuffles, which is
+    the entire point of a bloom semi-join at scale."""
+    pos = None
+    for r in range(BLOOM_K):
+        p = probes.select(
+            F.col(probe_col).alias("key"),
+            F.lit(r).alias("r"),
+            (_fold60(F.col(probe_col), f"bloom{r}:") % BLOOM_M).alias("pos"),
+        )
+        pos = p if pos is None else pos.unionByName(p)
+    matched = (
+        pos.join(F.broadcast(bits), ["r", "pos"], "left_semi")
+        .groupBy("key")
+        .agg(F.count("*").alias("hits"))
+    )
+    return (
+        probes.select(F.col(probe_col).alias("key"))
+        .dropDuplicates(["key"])
+        .join(matched, "key", "left")
+        .select("key", F.coalesce("hits", F.lit(0)).alias("hits"))
+    )
+
+
 def _self_check() -> None:  # pragma: no cover - documentation invariant
     assert HLL_K == 0.7213 / (1.0 + 1.079 / 256) * 256 * 256 * 2.0**53
     assert math.isfinite(HLL_K)

@@ -4663,6 +4663,350 @@ FROM events v JOIN events p
 
 
 # ---------------------------------------------------------------------------
+# Round-5b additions: k-core peeling, LM-perplexity quality scoring,
+# prefix-filtered Jaccard join, deterministic Bloom semi-join, exact
+# quota sampling, rolling-window aggregates, table profiling, grouped
+# mergeable HLL.  Every entry carries an exact DuckDB oracle; all float
+# arithmetic is either integer-exact or one double division of exact
+# integers rounded with the portable floor closed form.
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ITER = 3
+
+
+def _entity_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import kcore_nodes
+
+    pairs = cooccurrence_pairs(_mention_edge_frame(spark, sf))
+    alive = kcore_nodes(
+        pairs.select(F.col("a").alias("subj"), F.col("b").alias("obj")),
+        k=_KCORE_K,
+        n_iter=_KCORE_ITER,
+    )
+    return alive.orderBy(F.col("node").asc())
+
+
+def _kcore_sql(k: int, n_iter: int) -> str:
+    parts = [
+        f"WITH {sentence_ctes()}, {_COOC_CTES}, ",
+        "symk AS MATERIALIZED (SELECT a AS u, b AS v FROM pairs "
+        "UNION ALL SELECT b, a FROM pairs), ",
+        "al0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM symk), ",
+    ]
+    for r in range(1, n_iter + 1):
+        # MATERIALIZED: each round references the previous alive set
+        # twice; inlining would re-evaluate the sentence pipeline 2^r
+        # times (same contract as _sssp_sql / _lpa_sql)
+        parts.append(
+            f"al{r} AS MATERIALIZED (SELECT u AS node FROM symk "
+            f"WHERE u IN (SELECT node FROM al{r - 1}) "
+            f"AND v IN (SELECT node FROM al{r - 1}) "
+            f"GROUP BY u HAVING COUNT(*) >= {k}), "
+        )
+    parts[-1] = parts[-1][:-2] + " "
+    parts.append(f"SELECT node FROM al{n_iter} ORDER BY node ASC")
+    return "".join(parts)
+
+
+_register(
+    "entity_kcore_nodes",
+    _entity_kcore,
+    _kcore_sql(_KCORE_K, _KCORE_ITER),
+)
+
+
+def _doc_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.ranking import doc_bigram_logprob
+
+    out = doc_bigram_logprob(_read(spark, sf, "documents"))
+    return out.orderBy(F.col("avg_lp_r").asc(), F.col("doc").asc()).limit(20)
+
+
+_register(
+    "doc_bigram_logprob_bottom20",
+    _doc_bigram_logprob,
+    f"WITH {_TOK_CTES}, "
+    "big AS (SELECT doc, term AS w1, lead(term) OVER "
+    "(PARTITION BY doc ORDER BY idx) AS w2 FROM t2), "
+    "b2 AS (SELECT * FROM big WHERE w2 IS NOT NULL), "
+    "model AS (SELECT w1, w2, COUNT(*) AS n FROM b2 GROUP BY w1, w2), "
+    "marg AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS c1 FROM model "
+    "GROUP BY w1), "
+    "voc AS (SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS vsize "
+    "FROM t2), "
+    "lp AS (SELECT b.doc, ln((m.n + 1.0) / "
+    "(g.c1 + (SELECT vsize FROM voc))) AS lp "
+    "FROM b2 b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2 "
+    "JOIN marg g ON b.w1 = g.w1) "
+    "SELECT doc, COUNT(*) AS n_bigrams, "
+    "floor(SUM(lp) / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS avg_lp_r "
+    "FROM lp GROUP BY doc ORDER BY avg_lp_r ASC, doc ASC LIMIT 20",
+)
+
+
+_PJ_NUM, _PJ_DEN = 3, 10
+
+
+def _prefix_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.neardup import prefix_jaccard_pairs
+
+    out = prefix_jaccard_pairs(
+        _read(spark, sf, "documents"), t_num=_PJ_NUM, t_den=_PJ_DEN
+    )
+    return out.orderBy(F.col("a").asc(), F.col("b").asc())
+
+
+_register(
+    "prefix_jaccard_pairs",
+    _prefix_jaccard,
+    "WITH toks AS (SELECT DISTINCT doc, term FROM ("
+    f"SELECT doc_id AS doc, unnest({_SHINGLES_SQL}) AS term "
+    "FROM documents) WHERE term <> ''), "
+    "sizes AS (SELECT doc, COUNT(*) AS sz FROM toks GROUP BY doc), "
+    "dfreq AS (SELECT term, COUNT(*) AS df FROM toks GROUP BY term), "
+    "ranked AS (SELECT t.doc, t.term, row_number() OVER ("
+    "PARTITION BY t.doc ORDER BY d.df ASC, t.term ASC) AS r, s.sz "
+    "FROM toks t JOIN dfreq d USING (term) JOIN sizes s USING (doc)), "
+    f"pref AS (SELECT doc, term FROM ranked WHERE r <= sz - "
+    f"(({_PJ_NUM} * sz + {_PJ_DEN - 1}) // {_PJ_DEN}) + 1), "
+    "cand AS (SELECT DISTINCT x.doc AS a, y.doc AS b FROM pref x "
+    "JOIN pref y ON x.term = y.term AND x.doc < y.doc), "
+    "inter AS (SELECT c.a, c.b, COUNT(*) AS isz FROM cand c "
+    "JOIN toks ta ON ta.doc = c.a "
+    "JOIN toks tb ON tb.doc = c.b AND tb.term = ta.term "
+    "GROUP BY c.a, c.b) "
+    "SELECT i.a, i.b, i.isz, sa.sz + sb.sz - i.isz AS usz, "
+    "floor(i.isz / CAST(sa.sz + sb.sz - i.isz AS DOUBLE) "
+    "* 10000.0 + 0.5) / 10000.0 AS jac_r "
+    "FROM inter i JOIN sizes sa ON sa.doc = i.a "
+    "JOIN sizes sb ON sb.doc = i.b "
+    f"WHERE {_PJ_DEN} * i.isz >= {_PJ_NUM} * (sa.sz + sb.sz - i.isz) "
+    "ORDER BY a ASC, b ASC",
+)
+
+
+_BLOOM_PRICE = 480000
+
+
+def _bloom_semijoin_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sketch import BLOOM_K, bloom_bits, bloom_probe
+
+    members = (
+        _read(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > _BLOOM_PRICE)
+        .select(F.col("o_custkey").cast("string").alias("key"))
+        .distinct()
+        .persist()
+    )
+    bits = bloom_bits(members)
+    probes = _read(spark, sf, "customer").select(
+        F.col("c_custkey").cast("string").alias("key")
+    )
+    passed = (
+        bloom_probe(probes, bits)
+        .filter(F.col("hits") == BLOOM_K)
+        .select("key")
+        .persist()
+    )
+    n_members = members.agg(F.count("*").alias("n_members"))
+    n_pass = passed.agg(F.count("*").alias("n_pass"))
+    n_false = passed.join(members, "key", "left_anti").agg(
+        F.count("*").alias("n_false_pos")
+    )
+    n_missed = members.join(passed, "key", "left_anti").agg(
+        F.count("*").alias("n_missed_members")
+    )
+    _track(members)
+    _track(passed)
+    return (
+        n_members.crossJoin(n_pass).crossJoin(n_false).crossJoin(n_missed)
+    )
+
+
+def _bloom_sql() -> str:
+    def fold(salt: str, v: str) -> str:
+        return (
+            f"CAST(concat('0x', substr(md5('{salt}' || {v}), 1, 15)) "
+            "AS BIGINT) % 1024"
+        )
+
+    bit_rows = " UNION ALL ".join(
+        f"SELECT {r} AS r, {fold(f'bloom{r}:', 'key')} AS pos FROM members"
+        for r in range(3)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT key, {r} AS r, {fold(f'bloom{r}:', 'key')} AS pos "
+        "FROM probes"
+        for r in range(3)
+    )
+    return f"""
+WITH members AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key
+                 FROM orders WHERE o_totalprice > {_BLOOM_PRICE}),
+bits AS (SELECT DISTINCT r, pos FROM ({bit_rows})),
+probes AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS key
+           FROM customer),
+ppos AS ({probe_rows}),
+hits AS (SELECT p.key, COUNT(*) AS c FROM ppos p
+         JOIN bits b ON b.r = p.r AND b.pos = p.pos GROUP BY p.key),
+pass AS (SELECT key FROM hits WHERE c = 3)
+SELECT (SELECT COUNT(*) FROM members) AS n_members,
+       (SELECT COUNT(*) FROM pass) AS n_pass,
+       (SELECT COUNT(*) FROM pass p
+        WHERE p.key NOT IN (SELECT key FROM members)) AS n_false_pos,
+       (SELECT COUNT(*) FROM members m
+        WHERE m.key NOT IN (SELECT key FROM pass)) AS n_missed_members
+"""
+
+
+_register(
+    "bloom_semijoin_stats",
+    _bloom_semijoin_stats,
+    _bloom_sql(),
+)
+
+
+def _exact_quota_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.curation import exact_quota_sample
+
+    out = exact_quota_sample(
+        _read(spark, sf, "documents"), frac_num=1, frac_den=5,
+        strata_col="source", id_col="doc_id",
+    )
+    return out.orderBy(F.col("strata").asc(), F.col("rnk").asc())
+
+
+_register(
+    "exact_quota_sample_docs",
+    _exact_quota_sample_docs,
+    "WITH ranked AS (SELECT source AS strata, doc_id AS id, "
+    "CAST(row_number() OVER (PARTITION BY source "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS INT) "
+    "AS rnk, "
+    "COUNT(*) OVER (PARTITION BY source) AS n_str FROM documents) "
+    "SELECT strata, id, rnk FROM ranked WHERE rnk * 5 <= n_str * 1 "
+    "ORDER BY strata ASC, rnk ASC",
+)
+
+
+def _event_value_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-2, 0)
+    )
+    s = F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    return (
+        _read(spark, sf, "events")
+        .select(
+            "user_id",
+            "event_id",
+            (F.floor(s / n * 10000.0 + F.lit(0.5)) / 10000.0).alias("ma_r"),
+        )
+        .orderBy(F.col("user_id").asc(), F.col("event_id").asc())
+    )
+
+
+_register(
+    "event_value_moving_avg",
+    _event_value_moving_avg,
+    "SELECT user_id, event_id, "
+    "floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) "
+    "/ COUNT(*) OVER w * 10000.0 + 0.5) / 10000.0 AS ma_r "
+    "FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) "
+    "ORDER BY user_id ASC, event_id ASC",
+)
+
+
+_PROFILE_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+)
+
+
+def _table_profile_orders(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.profile import profile_columns
+
+    out = profile_columns(_read(spark, sf, "orders"), list(_PROFILE_COLS))
+    return out.orderBy(F.col("column_name").asc())
+
+
+_register(
+    "table_profile_orders",
+    _table_profile_orders,
+    " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows, "
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n_nulls, COUNT(DISTINCT {c}) AS n_distinct FROM orders"
+        for c in _PROFILE_COLS
+    )
+    + " ORDER BY column_name ASC",
+)
+
+
+def _hll_tokens_per_lang(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import sketch as SK
+
+    toks = (
+        _read(spark, sf, "documents")
+        .select(
+            F.col("lang").alias("grp"),
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("key"),
+        )
+        .filter(F.col("key") != "")
+        .dropDuplicates(["grp", "key"])
+        .persist()
+    )
+    est = SK.hll_estimate_grouped(SK.hll_register_maxima_grouped(toks, "grp"))
+    exact = toks.groupBy("grp").agg(F.count("*").alias("exact_distinct"))
+    _track(toks)
+    return (
+        est.join(exact, "grp")
+        .select(
+            F.col("grp").alias("lang"),
+            "estimate", "registers_used", "exact_distinct",
+        )
+        .orderBy(F.col("lang").asc())
+    )
+
+
+_register(
+    "hll_tokens_per_lang",
+    _hll_tokens_per_lang,
+    f"""
+WITH toks AS (SELECT DISTINCT lang, token FROM (
+    SELECT lang, unnest(string_split_regex(lower(text), '\\s+')) AS token
+    FROM documents) WHERE token <> ''),
+h AS (SELECT lang, CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT)
+        AS hh FROM toks),
+rr AS (SELECT lang, hh % 256 AS register,
+              CASE WHEN (hh >> 8) = 0 THEN 53
+                   ELSE 53 - length(bin(hh >> 8)) END AS rho
+       FROM h),
+mx AS (SELECT lang, register, MAX(rho) AS max_rho FROM rr GROUP BY 1, 2),
+agg AS (SELECT lang, SUM(1::BIGINT << (53 - max_rho)) AS s_present,
+               COUNT(*) AS used FROM mx GROUP BY lang),
+raws AS (SELECT lang, {HLL_K!r} /
+           CAST(s_present + (256 - used) * (1::BIGINT << 53) AS DOUBLE)
+           AS raw,
+         256 - used AS v, used FROM agg),
+es AS (SELECT lang, CASE WHEN raw <= 640.0 AND v > 0
+                    THEN 256.0 * ln(256.0 / v) ELSE raw END AS e, used
+        FROM raws),
+ex AS (SELECT lang, COUNT(*) AS exact_distinct FROM toks GROUP BY lang)
+SELECT es.lang, floor(es.e * 100.0 + 0.5) / 100.0 AS estimate,
+       es.used AS registers_used, ex.exact_distinct
+FROM es JOIN ex USING (lang) ORDER BY lang ASC
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 entries of

@@ -1,0 +1,268 @@
+"""Round-5b operators: k-core peeling, bigram-LM document scoring,
+prefix-filtered Jaccard join, Bloom semi-join, exact quota sampling,
+column profiling, grouped HLL."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# k-core
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_peels_pendants_keeps_triangle(spark):
+    from riksdagen_sentences_spark.operators.graph import kcore_nodes
+
+    # triangle a-b-c plus pendant chain c-d-e: the 2-core is the triangle
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")],
+        "subj string, obj string",
+    )
+    alive = {
+        r.node for r in kcore_nodes(edges, k=2, n_iter=5).collect()
+    }
+    assert alive == {"a", "b", "c"}
+
+
+def test_kcore_fixed_rounds_are_synchronous(spark):
+    from riksdagen_sentences_spark.operators.graph import kcore_nodes
+
+    # path graph a-b-c-d-e peels from both ends one round at a time:
+    # after 1 round {b,c,d}, after 2 rounds {c}, after 3 rounds {}
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "subj string, obj string",
+    )
+    for n_iter, expect in [(1, {"b", "c", "d"}), (2, {"c"}), (3, set())]:
+        alive = {
+            r.node for r in kcore_nodes(edges, k=2, n_iter=n_iter).collect()
+        }
+        assert alive == expect, n_iter
+
+
+# ---------------------------------------------------------------------------
+# bigram LM scoring
+# ---------------------------------------------------------------------------
+
+
+def test_doc_bigram_logprob_hand_computed(spark):
+    import math
+
+    from riksdagen_sentences_spark.operators.ranking import (
+        doc_bigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    # bigrams: d1 = (a,b),(b,a),(a,b); d2 = (a,b),(b,c)
+    # model: n(a,b)=3, n(b,a)=1, n(b,c)=1; c1(a)=3, c1(b)=2; V=3
+    rows = {r.doc: r for r in doc_bigram_logprob(docs).collect()}
+    lp_ab = math.log((3 + 1) / (3 + 3.0))
+    lp_ba = math.log((1 + 1) / (2 + 3.0))
+    lp_bc = math.log((1 + 1) / (2 + 3.0))
+    exp1 = (2 * lp_ab + lp_ba) / 3
+    exp2 = (lp_ab + lp_bc) / 2
+    import math as m
+
+    assert rows[1].n_bigrams == 3
+    assert rows[1].avg_lp_r == m.floor(exp1 * 10000.0 + 0.5) / 10000.0
+    assert rows[2].n_bigrams == 2
+    assert rows[2].avg_lp_r == m.floor(exp2 * 10000.0 + 0.5) / 10000.0
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered Jaccard
+# ---------------------------------------------------------------------------
+
+
+def _brute_force_pairs(spark, docs, t_num, t_den):
+    from riksdagen_sentences_spark.operators.neardup import _doc_shingles
+
+    toks = _doc_shingles(docs, "text").select(
+        F.col("doc_id").alias("doc"), F.col("shingle").alias("term")
+    )
+    a = toks.select(F.col("doc").alias("a"), "term")
+    b = toks.select(F.col("doc").alias("b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("isz"))
+    )
+    sizes = toks.groupBy("doc").agg(F.count("*").alias("sz"))
+    out = (
+        inter.join(sizes.select(F.col("doc").alias("a"),
+                                F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("doc").alias("b"),
+                           F.col("sz").alias("szb")), "b")
+        .filter(
+            F.lit(t_den) * F.col("isz")
+            >= F.lit(t_num) * (F.col("sza") + F.col("szb") - F.col("isz"))
+        )
+    )
+    return {(r.a, r.b, r.isz) for r in out.collect()}
+
+
+def test_prefix_jaccard_equals_brute_force(spark):
+    from riksdagen_sentences_spark.operators.neardup import (
+        prefix_jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " tail"),                       # near-dup of 1
+            (3, base.replace("quick", "slow")),        # near-dup of 1
+            (4, "completely different words here make no shared shingle"),
+            (5, "the quick brown fox sat still"),      # partial overlap
+        ],
+        "doc_id long, text string",
+    )
+    for t_num, t_den in [(3, 10), (1, 2), (4, 5)]:
+        got = {
+            (r.a, r.b, r.isz)
+            for r in prefix_jaccard_pairs(
+                docs, t_num=t_num, t_den=t_den
+            ).collect()
+        }
+        assert got == _brute_force_pairs(spark, docs, t_num, t_den), (
+            t_num, t_den,
+        )
+
+
+def test_prefix_jaccard_rational_threshold_is_inclusive(spark):
+    from riksdagen_sentences_spark.operators.neardup import (
+        prefix_jaccard_pairs,
+    )
+
+    # two docs with shingle sets of size 4 and 4, intersection 2:
+    # J = 2/6 = 1/3 exactly -> must be INCLUDED at t = 1/3
+    d1 = "a b c d e f"           # shingles: abc bcd cde def (4)
+    d2 = "a b c x y z"           # shingles: abc bcx cxy xyz (4), inter=1
+    # craft instead: share exactly 2 shingles
+    d2 = "a b c d x y"           # abc bcd cdx dxy -> inter = {abc, bcd} = 2
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id long, text string"
+    )
+    got = prefix_jaccard_pairs(docs, t_num=1, t_den=3).collect()
+    assert len(got) == 1 and got[0].isz == 2 and got[0].usz == 6
+    # and strictly above 1/3 excludes it
+    assert not prefix_jaccard_pairs(docs, t_num=34, t_den=100).collect()
+
+
+# ---------------------------------------------------------------------------
+# Bloom semi-join
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_deterministic(spark):
+    from riksdagen_sentences_spark.operators.sketch import (
+        BLOOM_K,
+        bloom_bits,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame(
+        [(str(i),) for i in range(200)], "key string"
+    )
+    probes = spark.createDataFrame(
+        [(str(i),) for i in range(400)], "key string"
+    )
+    bits = bloom_bits(members)
+    hits = bloom_probe(probes, bits)
+    passed = {r.key for r in hits.filter(F.col("hits") == BLOOM_K).collect()}
+    # every member passes (no false negatives)
+    assert {str(i) for i in range(200)} <= passed
+    # deterministic across re-evaluation
+    passed2 = {
+        r.key
+        for r in bloom_probe(probes, bloom_bits(members))
+        .filter(F.col("hits") == BLOOM_K)
+        .collect()
+    }
+    assert passed == passed2
+
+
+# ---------------------------------------------------------------------------
+# exact quota sampling
+# ---------------------------------------------------------------------------
+
+
+def test_exact_quota_sample_hits_floor_exactly(spark):
+    from riksdagen_sentences_spark.operators.curation import (
+        exact_quota_sample,
+    )
+
+    rows = [(i, "s1" if i < 17 else "s2") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = exact_quota_sample(
+        docs, frac_num=1, frac_den=5, strata_col="source", id_col="doc_id"
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.strata, []).append(r)
+    # floor(17/5)=3, floor(13/5)=2 - exact, not in expectation
+    assert len(by["s1"]) == 3 and len(by["s2"]) == 2
+    # deterministic: same ids on re-run
+    out2 = exact_quota_sample(
+        docs, frac_num=1, frac_den=5, strata_col="source", id_col="doc_id"
+    ).collect()
+    assert {(r.strata, r.id) for r in out} == {
+        (r.strata, r.id) for r in out2
+    }
+
+
+# ---------------------------------------------------------------------------
+# profiling
+# ---------------------------------------------------------------------------
+
+
+def test_profile_columns_counts(spark):
+    from riksdagen_sentences_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "x"), (None, "y")],
+        "a int, b string",
+    )
+    rows = {r.column_name: r for r in profile_columns(df, ["a", "b"]).collect()}
+    assert rows["a"].n_rows == 4
+    assert rows["a"].n_nulls == 1 and rows["a"].n_distinct == 3
+    assert rows["b"].n_nulls == 1 and rows["b"].n_distinct == 2
+
+
+# ---------------------------------------------------------------------------
+# grouped HLL
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_hll_matches_global_per_group(spark):
+    from riksdagen_sentences_spark.operators.sketch import (
+        hll_estimate,
+        hll_estimate_grouped,
+        hll_register_maxima,
+        hll_register_maxima_grouped,
+    )
+
+    rows = [("g1", f"k{i}") for i in range(500)] + [
+        ("g2", f"q{i}") for i in range(50)
+    ]
+    keys = spark.createDataFrame(rows, "grp string, key string")
+    grouped = {
+        r.grp: (r.estimate, r.registers_used)
+        for r in hll_estimate_grouped(
+            hll_register_maxima_grouped(keys, "grp")
+        ).collect()
+    }
+    for g in ("g1", "g2"):
+        solo = hll_estimate(
+            hll_register_maxima(
+                keys.filter(F.col("grp") == g).select("key")
+            )
+        ).collect()[0]
+        assert grouped[g] == (solo.estimate, solo.registers_used), g
+    # sanity: estimates land near truth
+    assert grouped["g1"][0] == pytest.approx(500, rel=0.15)
+    assert grouped["g2"][0] == pytest.approx(50, rel=0.25)
