@@ -5007,6 +5007,67 @@ FROM es JOIN ex USING (lang) ORDER BY lang ASC
 
 
 # ---------------------------------------------------------------------------
+# BPE merge learning (operators/bpe.py): the tokenizer-training
+# primitive.  Fixed n_merges keeps the recurrence oracle-unrollable;
+# each oracle round MATERIALIZES (the argmax is referenced three times
+# by the merge application - inlining would re-count pairs 3^r times).
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 4
+
+
+def _bpe_merge_rules(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.bpe import learn_bpe
+
+    out = learn_bpe(_read(spark, sf, "documents"), n_merges=_BPE_MERGES)
+    return out.orderBy(F.col("round").asc())
+
+
+def _bpe_sql(n_merges: int) -> str:
+    parts = [
+        "WITH wf AS MATERIALIZED (SELECT w, COUNT(*) AS n FROM ("
+        "SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) "
+        "AS w FROM documents) WHERE w <> '' GROUP BY w), "
+        "wc0 AS MATERIALIZED (SELECT w, n, ' ' || array_to_string("
+        "list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), "
+        "'  ') || ' ' AS seq FROM wf), ",
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT n, "
+            f"string_split(trim(seq), '  ') AS syms FROM wc{r - 1}), "
+            f"p{r} AS MATERIALIZED (SELECT syms[i] AS w1, "
+            "syms[i + 1] AS w2, CAST(SUM(n) AS BIGINT) AS freq FROM ("
+            "SELECT n, syms, unnest(generate_series(1, len(syms) - 1)) "
+            f"AS i FROM s{r}) GROUP BY 1, 2), "
+            f"b{r} AS MATERIALIZED (SELECT {r} AS round, w1, w2, "
+            f"w1 || w2 AS merged, freq FROM p{r} "
+            "ORDER BY freq DESC, w1 ASC, w2 ASC LIMIT 1), "
+            f"wc{r} AS MATERIALIZED (SELECT w, n, replace(seq, "
+            f"' ' || (SELECT w1 FROM b{r}) || '  ' || "
+            f"(SELECT w2 FROM b{r}) || ' ', "
+            f"' ' || (SELECT merged FROM b{r}) || ' ') AS seq "
+            f"FROM wc{r - 1}), "
+        )
+    parts[-1] = parts[-1][:-2] + " "
+    parts.append(
+        " UNION ALL ".join(
+            f"SELECT round, w1, w2, merged, freq FROM b{r}"
+            for r in range(1, n_merges + 1)
+        )
+        + " ORDER BY round ASC"
+    )
+    return "".join(parts)
+
+
+_register(
+    "bpe_merge_rules",
+    _bpe_merge_rules,
+    _bpe_sql(_BPE_MERGES),
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 entries of

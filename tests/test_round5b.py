@@ -266,3 +266,53 @@ def test_grouped_hll_matches_global_per_group(spark):
     # sanity: estimates land near truth
     assert grouped["g1"][0] == pytest.approx(500, rel=0.15)
     assert grouped["g2"][0] == pytest.approx(50, rel=0.25)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning
+# ---------------------------------------------------------------------------
+
+
+def test_learn_bpe_hand_computed(spark):
+    from riksdagen_sentences_spark.operators.bpe import (
+        learn_bpe,
+        segment_words,
+    )
+
+    # words: "aaab" x2, "ab" x1
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "ab")], "doc_id long, text string"
+    )
+    rules = learn_bpe(docs, n_merges=3).orderBy("round").collect()
+    # round 1: (a,a) freq 4 (two overlapping-counted pairs per "aaab")
+    assert (rules[0].w1, rules[0].w2, rules[0].freq) == ("a", "a", 4)
+    # after greedy merge "aaab" -> [aa, a, b]: (a,b) freq 2+1=3 beats
+    # (aa,a) freq 2
+    assert (rules[1].w1, rules[1].w2, rules[1].freq) == ("a", "b", 3)
+    # then "aaab" -> [aa, ab]: (aa,ab) freq 2
+    assert (rules[2].w1, rules[2].w2, rules[2].freq) == ("aa", "ab", 2)
+
+    # all three merges collapse "aaab" to a single token; the first two
+    # leave the intermediate [aa, ab] segmentation
+    seg3 = {
+        r.w: r.pieces
+        for r in segment_words(docs, learn_bpe(docs, n_merges=3)).collect()
+    }
+    assert seg3["aaab"] == ["aaab"] and seg3["ab"] == ["ab"]
+    seg2 = {
+        r.w: r.pieces
+        for r in segment_words(docs, learn_bpe(docs, n_merges=2)).collect()
+    }
+    assert seg2["aaab"] == ["aa", "ab"] and seg2["ab"] == ["ab"]
+
+
+def test_learn_bpe_back_to_back_merges(spark):
+    from riksdagen_sentences_spark.operators.bpe import learn_bpe
+
+    # "abab": both (a,b) occurrences must merge in one round (the
+    # double-space replace encoding's non-overlap boundary case)
+    docs = spark.createDataFrame([(1, "abab")], "doc_id long, text string")
+    rules = learn_bpe(docs, n_merges=2).orderBy("round").collect()
+    assert (rules[0].w1, rules[0].w2) == ("a", "b")
+    # round 2 sees [ab, ab] -> pair (ab, ab)
+    assert (rules[1].w1, rules[1].w2) == ("ab", "ab")
