@@ -221,28 +221,27 @@ def bloom_probe(
     """(key, hits) - how many of the probe's BLOOM_K positions are set;
     a key passes the filter iff hits == BLOOM_K.  Guarantees no false
     negatives (every member's positions are set by construction); false
-    positives are the sketch's price and are DETERMINISTIC here.  The
-    bit table is broadcast - the probe side never shuffles, which is
-    the entire point of a bloom semi-join at scale."""
-    pos = None
+    positives are the sketch's price and are DETERMINISTIC here.
+
+    The probe side NEVER shuffles - the entire point of a bloom
+    semi-join at scale: each hash row of the sparse bit table (<= 1024
+    rows) broadcasts to a left join keyed on that row's position
+    column, and ``hits`` is the sum of the per-row match flags.  Each
+    (r, pos) is distinct so the joins are 1:1 - output rows map 1:1
+    with input probe rows (duplicate probe keys are the caller's to
+    dedup; the whole path stays exchange-free)."""
+    out = probes.select(F.col(probe_col).alias("key"))
     for r in range(BLOOM_K):
-        p = probes.select(
-            F.col(probe_col).alias("key"),
-            F.lit(r).alias("r"),
-            (_fold60(F.col(probe_col), f"bloom{r}:") % BLOOM_M).alias("pos"),
+        br = bits.filter(F.col("r") == r).select(
+            F.col("pos").alias(f"__p{r}"), F.lit(1).alias(f"__m{r}")
         )
-        pos = p if pos is None else pos.unionByName(p)
-    matched = (
-        pos.join(F.broadcast(bits), ["r", "pos"], "left_semi")
-        .groupBy("key")
-        .agg(F.count("*").alias("hits"))
+        out = out.withColumn(
+            f"__p{r}", _fold60(F.col("key"), f"bloom{r}:") % BLOOM_M
+        ).join(F.broadcast(br), f"__p{r}", "left")
+    hits = sum(
+        F.coalesce(F.col(f"__m{r}"), F.lit(0)) for r in range(BLOOM_K)
     )
-    return (
-        probes.select(F.col(probe_col).alias("key"))
-        .dropDuplicates(["key"])
-        .join(matched, "key", "left")
-        .select("key", F.coalesce("hits", F.lit(0)).alias("hits"))
-    )
+    return out.select("key", hits.alias("hits"))
 
 
 def _self_check() -> None:  # pragma: no cover - documentation invariant

@@ -293,3 +293,54 @@ def test_dedup_expansion_correct_under_hot_content(spark):
     # split at runtime (sha keys are uniform EXCEPT mass-shared
     # contents, where the output rows are genuinely that many)
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_prefix_jaccard_hot_shingle_excluded_from_prefixes(spark):
+    """A boilerplate shingle shared by EVERY document is the skew bomb
+    for a similarity self-join: joined naively it alone contributes
+    n_docs^2 candidate pairs.  Under the rare-first (df ASC) global
+    order the prefix filter puts the hottest shingle in almost no
+    prefix, so the candidate join never sees it."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from riksdagen_sentences_spark.operators.neardup import (
+        _doc_shingles,
+        prefix_jaccard_pairs,
+    )
+
+    n_docs, t_num, t_den = 60, 1, 2
+    rows = [
+        (
+            i,
+            " ".join(f"u{i}w{j}" for j in range(8)) + " common phrase here",
+        )
+        for i in range(n_docs)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # replicate the operator's prefix construction and pin the skew
+    # defense: the df=n_docs boilerplate shingle sits in ZERO prefixes
+    toks = _doc_shingles(docs, "text").select(
+        F.col("doc_id").alias("doc"), F.col("shingle").alias("term")
+    )
+    dfreq = toks.groupBy("term").agg(F.count("*").alias("df"))
+    sizes = toks.groupBy("doc").agg(F.count("*").alias("sz"))
+    w = Window.partitionBy("doc").orderBy(F.col("df").asc(),
+                                          F.col("term").asc())
+    ranked = (
+        toks.join(dfreq, "term")
+        .withColumn("r", F.row_number().over(w))
+        .join(sizes, "doc")
+    )
+    alpha = F.floor(
+        (F.lit(t_num) * F.col("sz") + F.lit(t_den - 1)) / F.lit(t_den)
+    )
+    pref = ranked.filter(F.col("r") <= F.col("sz") - alpha + 1)
+    hot_in_prefix = pref.filter(
+        F.col("term") == "common phrase here"
+    ).count()
+    assert hot_in_prefix == 0
+    # and the full operator agrees with the (empty) truth: no pair of
+    # these documents reaches J >= 1/2 on one shared shingle
+    assert prefix_jaccard_pairs(docs, t_num=t_num, t_den=t_den).count() == 0
