@@ -360,6 +360,25 @@ def main() -> None:
 
     timed("repo_snapshot_1m", q_repo_snapshot, repeats=2)
 
+    # q11: exact prefix-filtered Jaccard self-join over the sf corpus -
+    # the deterministic counterpart of the LSH pipeline; the artifact
+    # pins the surviving pair count next to the wall time.
+    def q_prefix_jaccard():
+        extras["prefix_jaccard_pairs_n"] = ND.prefix_jaccard_pairs(
+            docs_raw, t_num=3, t_den=10
+        ).count()
+
+    timed("prefix_jaccard_pairs", q_prefix_jaccard, repeats=2)
+
+    # q12: BPE merge learning - one corpus pass into (word, n), then 8
+    # vocabulary-sized rounds; the tokenizer-training primitive.
+    def q_bpe():
+        from riksdagen_sentences_spark.operators.bpe import learn_bpe
+
+        extras["bpe_rounds"] = learn_bpe(docs_raw, n_merges=8).count()
+
+    timed("bpe_merges_8", q_bpe)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
