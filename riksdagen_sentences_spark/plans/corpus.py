@@ -5067,6 +5067,26 @@ _register(
 )
 
 
+def _streaming_hll_replay(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.incremental import replay_hll_token_cardinality
+
+    return replay_hll_token_cardinality(
+        spark, _read(spark, sf, "documents"), n_slices=4
+    )
+
+
+# The stream slices the corpus into 4 micro-batches, each appending its
+# own partial register-maxima sketch; register max is associative +
+# duplicate-insensitive, so the merged estimate is bit-identical to the
+# one-shot batch sketch and the batch query's exact oracle applies
+# VERBATIM - slicing provably cannot move the answer.
+_register(
+    "streaming_hll_cardinality_replay",
+    _streaming_hll_replay,
+    ORACLES["hll_token_cardinality"],
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------

@@ -662,3 +662,91 @@ def replay_view_purchase_pairs(
         return spark.read.parquet(out_dir).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def replay_hll_token_cardinality(
+    spark: SparkSession, docs: DataFrame, n_slices: int = 4
+) -> DataFrame:
+    """1-row (estimate, registers_used, exact_distinct): the
+    deterministic HLL token cardinality computed THROUGH a real
+    micro-batch stream - the mergeability story under the contract that
+    actually exercises it.
+
+    Each micro-batch (``maxFilesPerTrigger=1`` over ``n_slices`` staged
+    files) folds its own tokens into a 256-row partial register-maxima
+    sketch and APPENDS it to the sketch store inside ``foreachBatch`` -
+    no read-modify-write, the same append-only discipline as the delta
+    store.  The final estimate merges all partials with one
+    ``groupBy(register).max`` - register max is associative,
+    commutative, and duplicate-insensitive, so the result is
+    bit-identical to the one-shot batch sketch no matter how the stream
+    was sliced (the exact-SQL oracle of ``hll_token_cardinality``
+    applies verbatim).  At 100 TB/day this is the shape streaming
+    cardinality runs as: constant-size per-batch state, merge at read.
+    ``exact_distinct`` is recomputed batch-side for the side-by-side
+    comparison, exactly as in the batch query."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import sketch as SK
+
+    work = tempfile.mkdtemp(prefix="sgraft_hllreplay_")
+    try:
+        os.makedirs(os.path.join(work, "in"))
+        from pyspark.sql.window import Window
+
+        order = Window.orderBy(F.col("doc_id").asc())
+        sliced = docs.withColumn("__slice", F.ntile(n_slices).over(order))
+        for k in range(1, n_slices + 1):
+            _stage_slice(
+                sliced.filter(F.col("__slice") == k).drop("__slice"),
+                work, k,
+            )
+        parts_dir = os.path.join(work, "sketch")
+
+        def _fold_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            toks = (
+                batch_df.select(
+                    F.explode(
+                        F.split(F.lower(F.col("text")), r"\s+")
+                    ).alias("key")
+                )
+                .filter(F.col("key") != "")
+            )
+            SK.hll_register_maxima(toks).write.mode("append").parquet(
+                parts_dir
+            )
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(work, "in"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(_fold_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        maxima = (
+            spark.read.parquet(parts_dir)
+            .groupBy("register")
+            .agg(F.max("max_rho").alias("max_rho"))
+        )
+        est = SK.hll_estimate(maxima)
+        exact = (
+            docs.select(
+                F.explode(
+                    F.split(F.lower(F.col("text")), r"\s+")
+                ).alias("key")
+            )
+            .filter(F.col("key") != "")
+            .distinct()
+            .agg(F.count("*").alias("exact_distinct"))
+        )
+        return est.crossJoin(exact).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

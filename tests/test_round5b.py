@@ -316,3 +316,35 @@ def test_learn_bpe_back_to_back_merges(spark):
     assert (rules[0].w1, rules[0].w2) == ("a", "b")
     # round 2 sees [ab, ab] -> pair (ab, ab)
     assert (rules[1].w1, rules[1].w2) == ("ab", "ab")
+
+
+# ---------------------------------------------------------------------------
+# streaming HLL replay
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_hll_replay_equals_batch_sketch(spark):
+    from riksdagen_sentences_spark.operators.sketch import (
+        hll_estimate,
+        hll_register_maxima,
+    )
+    from riksdagen_sentences_spark.streaming.incremental import (
+        replay_hll_token_cardinality,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{j}" for j in range(i * 25, i * 25 + 40)),
+          "en", "s", 0)
+         for i in range(8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = replay_hll_token_cardinality(spark, docs, n_slices=4).collect()[0]
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("key")
+    ).filter(F.col("key") != "").distinct()
+    batch = hll_estimate(hll_register_maxima(toks)).collect()[0]
+    # merged per-batch partials are bit-identical to the one-shot sketch
+    assert (got.estimate, got.registers_used) == (
+        batch.estimate, batch.registers_used,
+    )
+    assert got.exact_distinct == toks.count()
