@@ -5087,6 +5087,113 @@ _register(
 )
 
 
+def _hll_set_algebra(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch SET ALGEBRA: |A ∪ B| from the register-wise max merge of
+    two independently-built HLLs (the mergeability property), |A ∩ B|
+    by inclusion-exclusion on the rounded estimates - next to the exact
+    counts.  At 100 TB this answers overlap questions between corpus
+    slices from two constant-size states without rescanning either."""
+    from ..operators import sketch as SK
+
+    docs = _read(spark, sf, "documents")
+
+    def toks(lang: str) -> DataFrame:
+        return (
+            docs.filter(F.col("lang") == lang)
+            .select(
+                F.explode(
+                    F.split(F.lower(F.col("text")), r"\s+")
+                ).alias("key")
+            )
+            .filter(F.col("key") != "")
+            .distinct()
+        )
+
+    ta, tb = toks("en").persist(), toks("es").persist()
+    ma = SK.hll_register_maxima(ta).persist()
+    mb = SK.hll_register_maxima(tb).persist()
+    mu = (
+        ma.unionByName(mb)
+        .groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    ea = SK.hll_estimate(ma).select(F.col("estimate").alias("est_en"))
+    eb = SK.hll_estimate(mb).select(F.col("estimate").alias("est_es"))
+    eu = SK.hll_estimate(mu).select(F.col("estimate").alias("est_union"))
+    exact_a = ta.agg(F.count("*").alias("exact_en"))
+    exact_b = tb.agg(F.count("*").alias("exact_es"))
+    exact_i = ta.join(tb, "key").agg(F.count("*").alias("exact_inter"))
+    for fr in (ta, tb, ma, mb):
+        _track(fr)
+    return (
+        ea.crossJoin(eb).crossJoin(eu)
+        .crossJoin(exact_a).crossJoin(exact_b).crossJoin(exact_i)
+        .select(
+            "est_en", "est_es", "est_union",
+            (
+                F.floor(
+                    (F.col("est_en") + F.col("est_es") - F.col("est_union"))
+                    * 100.0 + F.lit(0.5)
+                ) / 100.0
+            ).alias("est_inter_r"),
+            "exact_en", "exact_es", "exact_inter",
+        )
+    )
+
+
+def _hll_mx_sql(name: str, lang: str | None) -> str:
+    where = f"WHERE lang = '{lang}'" if lang else ""
+    return (
+        f"tok_{name} AS (SELECT DISTINCT token FROM ("
+        "SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token "
+        f"FROM documents {where}) WHERE token <> ''), "
+        f"mx_{name} AS (SELECT hh % 256 AS register, "
+        "MAX(CASE WHEN (hh >> 8) = 0 THEN 53 "
+        "ELSE 53 - length(bin(hh >> 8)) END) AS max_rho FROM ("
+        "SELECT CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) "
+        f"AS hh FROM tok_{name}) GROUP BY 1)"
+    )
+
+
+def _hll_est_sql(name: str, src: str) -> str:
+    return (
+        f"est_{name} AS (SELECT CASE WHEN raw <= 640.0 AND v > 0 "
+        "THEN 256.0 * ln(256.0 / v) ELSE raw END AS e FROM ("
+        f"SELECT {HLL_K!r} / CAST(s_present + (256 - used) * "
+        "(1::BIGINT << 53) AS DOUBLE) AS raw, 256 - used AS v FROM ("
+        "SELECT SUM(1::BIGINT << (53 - max_rho)) AS s_present, "
+        f"COUNT(*) AS used FROM {src})))"
+    )
+
+
+_register(
+    "hll_set_algebra_en_es",
+    _hll_set_algebra,
+    f"""
+WITH {_hll_mx_sql('en', 'en')},
+{_hll_mx_sql('es', 'es')},
+mx_u AS (SELECT register, MAX(max_rho) AS max_rho FROM
+         (SELECT * FROM mx_en UNION ALL SELECT * FROM mx_es)
+         GROUP BY 1),
+{_hll_est_sql('a', 'mx_en')},
+{_hll_est_sql('b', 'mx_es')},
+{_hll_est_sql('u', 'mx_u')},
+r AS (SELECT floor((SELECT e FROM est_a) * 100.0 + 0.5) / 100.0 AS est_en,
+             floor((SELECT e FROM est_b) * 100.0 + 0.5) / 100.0 AS est_es,
+             floor((SELECT e FROM est_u) * 100.0 + 0.5) / 100.0
+               AS est_union)
+SELECT est_en, est_es, est_union,
+       floor((est_en + est_es - est_union) * 100.0 + 0.5) / 100.0
+         AS est_inter_r,
+       (SELECT COUNT(*) FROM tok_en) AS exact_en,
+       (SELECT COUNT(*) FROM tok_es) AS exact_es,
+       (SELECT COUNT(*) FROM tok_en JOIN tok_es USING (token))
+         AS exact_inter
+FROM r
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
