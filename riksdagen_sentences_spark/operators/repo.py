@@ -92,3 +92,30 @@ def language_breakdown(snapshot: DataFrame) -> DataFrame:
         "n_files",
         (F.floor(share * 10000.0 + F.lit(0.5)) / 10000.0).alias("share"),
     )
+
+
+def commit_churn(files: DataFrame, order_col: str = "commit_seq") -> DataFrame:
+    """(repo, commit_seq, n_changed): per repo and commit ordinal, how
+    many files CHANGED content relative to their own previous commit
+    (a file's first appearance counts as changed).
+
+    The churn profile is the code-corpus curation signal for
+    incremental-build sizing (how much kernel work a delta batch will
+    actually do - see plans/delta.py) and for repo health analytics.
+
+    Scale shape: one lag() window per (repo, path) - a single hash
+    exchange keyed on the file identity, so mega-repos spread across
+    the key space - then one catalog-sized hash aggregate.  Content
+    equality compares the raw column; swap in a sha256 projection
+    first when contents are large (same plan shape).
+    """
+    w = Window.partitionBy("repo", "path").orderBy(F.col(order_col).asc())
+    ch = files.withColumn("__prev", F.lag("content").over(w))
+    return (
+        ch.filter(
+            F.col("__prev").isNull()
+            | (F.col("__prev") != F.col("content"))
+        )
+        .groupBy("repo", order_col)
+        .agg(F.count("*").alias("n_changed"))
+    )

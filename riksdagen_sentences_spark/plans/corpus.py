@@ -5194,6 +5194,158 @@ FROM r
 )
 
 
+def _repo_commit_churn(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.repo import commit_churn
+    from ..sources.synth import files_history
+
+    del sf  # dual-synthesized fixture (no commit history in sf tables)
+    out = commit_churn(files_history(spark))
+    return out.orderBy(F.col("repo").asc(), F.col("commit_seq").asc())
+
+
+_register(
+    "repo_commit_churn",
+    _repo_commit_churn,
+    f"""
+WITH fh AS ({_files_history_sql()}),
+l AS (SELECT repo, commit_seq, content,
+             lag(content) OVER (PARTITION BY repo, path
+                                ORDER BY commit_seq ASC) AS prev
+      FROM fh)
+SELECT repo, commit_seq, COUNT(*) AS n_changed
+FROM l WHERE prev IS NULL OR prev <> content
+GROUP BY repo, commit_seq ORDER BY repo ASC, commit_seq ASC
+""",
+)
+
+
+_SPAN_K = 8
+
+
+def _duplicated_ngram_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document repeated token spans of exactly _SPAN_K words -
+    the 'find repeated passages' primitive (deduplicate-text-datasets
+    motif) at span granularity, between exact-paragraph dedup and
+    external-benchmark decontamination in the suite."""
+    from pyspark.sql.window import Window as W
+
+    terms = (
+        _read(spark, sf, "documents")
+        .select(
+            F.col("doc_id").alias("doc"),
+            F.posexplode(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+            ).alias("idx", "term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    w = W.partitionBy("doc").orderBy(F.col("idx").asc())
+    leads = [F.lead("term", i).over(w) for i in range(1, _SPAN_K)]
+    span = F.when(
+        leads[-1].isNotNull(), F.concat_ws(" ", F.col("term"), *leads)
+    )
+    spans = terms.select("doc", span.alias("span")).filter(
+        F.col("span").isNotNull()
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.countDistinct("doc").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occ").desc(),
+            F.col("span").asc(),
+        )
+        .limit(20)
+    )
+
+
+_SPAN_LEADS_SQL = ", ".join(
+    f"lead(term, {i}) OVER (PARTITION BY doc ORDER BY idx) AS l{i}"
+    for i in range(1, _SPAN_K)
+)
+_SPAN_CONCAT_SQL = " || ' ' || ".join(
+    ["term"] + [f"l{i}" for i in range(1, _SPAN_K - 1)]
+) + f" || ' ' || l{_SPAN_K - 1}"
+
+_register(
+    "duplicated_ngram_spans_top20",
+    _duplicated_ngram_spans,
+    f"WITH {_TOK_CTES}, "
+    f"ld AS (SELECT doc, term, {_SPAN_LEADS_SQL} FROM t2), "
+    f"sp AS (SELECT doc, {_SPAN_CONCAT_SQL} AS span FROM ld "
+    f"WHERE l{_SPAN_K - 1} IS NOT NULL) "
+    "SELECT span, COUNT(DISTINCT doc) AS n_docs, COUNT(*) AS n_occ "
+    "FROM sp GROUP BY span HAVING COUNT(DISTINCT doc) >= 2 "
+    "ORDER BY n_docs DESC, n_occ DESC, span ASC LIMIT 20",
+)
+
+
+def _cm_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-driven heavy hitters: every distinct token probed through
+    the Count-Min grid, top-20 by estimate - the constant-state
+    frequent-items query (estimates upper-bound truth one-sidedly)."""
+    from ..operators import sketch as SK
+
+    toks = (
+        _read(spark, sf, "documents")
+        .select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("item")
+        )
+        .filter(F.col("item") != "")
+        .persist()
+    )
+    sk = SK.cm_sketch(toks)
+    probes = toks.distinct()
+    est = SK.cm_query(sk, probes)
+    true = toks.groupBy("item").agg(F.count("*").alias("true_count"))
+    _track(toks)
+    return (
+        est.join(true, "item")
+        .select("item", "true_count", "cm_estimate")
+        .orderBy(
+            F.col("cm_estimate").desc(), F.col("item").asc()
+        )
+        .limit(20)
+    )
+
+
+def _cm_hh_sql() -> str:
+    depth, width = 4, 64
+    fold = (
+        "CAST(concat('0x', substr(md5('cm{r}:' || {v}), 1, 15)) AS BIGINT)"
+        " % " + str(width)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS row, {fold.format(r=r, v='item')} AS bucket "
+        "FROM toks"
+        for r in range(depth)
+    )
+    mins = ", ".join(
+        f"COALESCE((SELECT c FROM grid g WHERE g.row = {r} "
+        f"AND g.bucket = {fold.format(r=r, v='p.item')}), 0)"
+        for r in range(depth)
+    )
+    return f"""
+WITH toks AS (SELECT token AS item FROM ({_SKETCH_TOK})
+              WHERE token <> ''),
+grid AS (SELECT row, bucket, COUNT(*) AS c FROM ({rows}) GROUP BY 1, 2),
+probes AS (SELECT item, COUNT(*) AS true_count FROM toks GROUP BY item)
+SELECT p.item, p.true_count, LEAST({mins}) AS cm_estimate
+FROM probes p
+ORDER BY cm_estimate DESC, item ASC LIMIT 20
+"""
+
+
+_register(
+    "cm_heavy_hitters_top20",
+    _cm_heavy_hitters,
+    _cm_hh_sql(),
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------

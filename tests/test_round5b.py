@@ -348,3 +348,26 @@ def test_streaming_hll_replay_equals_batch_sketch(spark):
         batch.estimate, batch.registers_used,
     )
     assert got.exact_distinct == toks.count()
+
+
+# ---------------------------------------------------------------------------
+# repo commit churn
+# ---------------------------------------------------------------------------
+
+
+def test_commit_churn_counts_content_changes_only(spark):
+    from riksdagen_sentences_spark.operators.repo import commit_churn
+
+    rows = [
+        ("r", "a", 0, "v0"), ("r", "a", 1, "v0"), ("r", "a", 2, "v1"),
+        ("r", "b", 0, "w0"), ("r", "b", 1, "w1"), ("r", "b", 2, "w1"),
+    ]
+    files = spark.createDataFrame(
+        rows, "repo string, path string, commit_seq int, content string"
+    )
+    got = {
+        (r.repo, r.commit_seq): r.n_changed
+        for r in commit_churn(files).collect()
+    }
+    # seq 0: both files first appear; seq 1: only b changes; seq 2: only a
+    assert got == {("r", 0): 2, ("r", 1): 1, ("r", 2): 1}
