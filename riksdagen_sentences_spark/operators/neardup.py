@@ -646,12 +646,34 @@ def prefix_jaccard_pairs(
         (F.lit(t_num) * F.col("sz") + F.lit(t_den - 1)) / F.lit(t_den)
     )
     pref = ranked.filter(F.col("r") <= F.col("sz") - alpha + 1).select(
-        "doc", "term"
+        "doc", "term", "r", "sz"
+    )
+    # PPJoin positional filter: a shared prefix token at ranks (ra, rb)
+    # bounds the overlap by 1 + min(sza - ra, szb - rb) (every other
+    # common token is globally larger, so it ranks strictly behind in
+    # BOTH sets); the smallest common token of a qualifying pair always
+    # survives this bound (monotonicity of t_den*o >= t_num*(|union|)),
+    # so pruning rows whose bound cannot reach the threshold is exact.
+    ub = F.lit(1) + F.least(
+        F.col("sza") - F.col("ra"), F.col("szb") - F.col("rb")
     )
     cand = (
-        pref.select(F.col("doc").alias("a"), "term")
-        .join(pref.select(F.col("doc").alias("b"), "term"), "term")
+        pref.select(
+            F.col("doc").alias("a"), "term",
+            F.col("r").alias("ra"), F.col("sz").alias("sza"),
+        )
+        .join(
+            pref.select(
+                F.col("doc").alias("b"), "term",
+                F.col("r").alias("rb"), F.col("sz").alias("szb"),
+            ),
+            "term",
+        )
         .filter(F.col("a") < F.col("b"))
+        .filter(
+            F.lit(t_den) * ub
+            >= F.lit(t_num) * (F.col("sza") + F.col("szb") - ub)
+        )
         .select("a", "b")
         .dropDuplicates(["a", "b"])
     )

@@ -4768,10 +4768,14 @@ _register(
     "ranked AS (SELECT t.doc, t.term, row_number() OVER ("
     "PARTITION BY t.doc ORDER BY d.df ASC, t.term ASC) AS r, s.sz "
     "FROM toks t JOIN dfreq d USING (term) JOIN sizes s USING (doc)), "
-    f"pref AS (SELECT doc, term FROM ranked WHERE r <= sz - "
+    f"pref AS (SELECT doc, term, r, sz FROM ranked WHERE r <= sz - "
     f"(({_PJ_NUM} * sz + {_PJ_DEN - 1}) // {_PJ_DEN}) + 1), "
-    "cand AS (SELECT DISTINCT x.doc AS a, y.doc AS b FROM pref x "
-    "JOIN pref y ON x.term = y.term AND x.doc < y.doc), "
+    "cand AS (SELECT DISTINCT a, b FROM ("
+    "SELECT x.doc AS a, y.doc AS b, "
+    "1 + least(x.sz - x.r, y.sz - y.r) AS ub, "
+    "x.sz AS sza, y.sz AS szb "
+    "FROM pref x JOIN pref y ON x.term = y.term AND x.doc < y.doc) "
+    f"WHERE {_PJ_DEN} * ub >= {_PJ_NUM} * (sza + szb - ub)), "
     "inter AS (SELECT c.a, c.b, COUNT(*) AS isz FROM cand c "
     "JOIN toks ta ON ta.doc = c.a "
     "JOIN toks tb ON tb.doc = c.b AND tb.term = ta.term "
