@@ -1,0 +1,85 @@
+"""Distributed linear algebra over embedding columns: Gram matrix and
+top-principal-component power iteration as pure DataFrame algebra.
+
+The PCA direction of an embedding corpus is the standard diagnostic for
+anisotropy (all-but-the-top-PC post-processing) and the building block
+for PCA whitening in dedup/retrieval pipelines.  At 100 TB the ONLY
+scalable shape is the one used here:
+
+- ``gram_matrix``: G[i,j] = sum_rows x_i * x_j via a double posexplode
+  and ONE map-side-combined hash aggregate - the corpus is read once
+  and reduces to a dim^2-row table (4096 rows at dim 64), after which
+  the eigen-iteration never touches the data again.  This is exactly
+  how distributed PCA is done (compute the Gram/covariance in one pass,
+  solve the tiny eigenproblem on the aggregate).
+- ``top_principal_component``: fixed-round power iteration on the
+  dim^2 table - each round is a dim^2-row join + two tiny aggregates,
+  driver-free; fixed rounds keep it oracle-unrollable (the contract
+  shared with pagerank/sssp/lpa/kcore).
+
+Float handling: components are cast to DOUBLE before multiplying, so
+each product is EXACT (a double product of two float-valued operands);
+only sum order can move the result, at ~1e-14 relative - absorbed by
+the 4dp rounding the consumers apply.  The eigenvector sign is fixed
+deterministically: the largest-|z| component (ties -> lowest index) is
+made positive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def gram_matrix(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(i, j, v): the Gram matrix sum_rows x[i]*x[j] over the vector
+    column (0-based positions).  One pass, one hash aggregate; the
+    result is dim^2 rows regardless of corpus size."""
+    a = vecs.select(
+        F.col(vec_col).alias("__v"),
+        F.posexplode(F.col(vec_col)).alias("i", "xi"),
+    )
+    b = a.select(
+        "i",
+        F.col("xi").cast("double").alias("xi"),
+        F.posexplode("__v").alias("j", "xj"),
+    )
+    return b.groupBy("i", "j").agg(
+        F.sum(F.col("xi") * F.col("xj").cast("double")).alias("v")
+    )
+
+
+def top_principal_component(
+    vecs: DataFrame, n_iter: int = 3, vec_col: str = "embedding"
+) -> DataFrame:
+    """(i, z): the dominant eigenvector of the Gram matrix after
+    ``n_iter`` power-iteration rounds from the all-ones start,
+    L2-normalized each round, sign-fixed so the largest-|z| component
+    (ties -> lowest index) is positive.  Rounds are fixed (no
+    convergence probe) so a SQL oracle can unroll them."""
+    g = gram_matrix(vecs, vec_col).localCheckpoint(eager=True)
+    z = g.select("i").distinct().withColumn("z", F.lit(1.0))
+    for _ in range(n_iter):
+        y = (
+            g.join(z.select(F.col("i").alias("j"), "z"), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("v") * F.col("z")).alias("y"))
+        )
+        nrm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
+        z = (
+            y.crossJoin(F.broadcast(nrm))
+            .select("i", (F.col("y") / F.col("nrm")).alias("z"))
+            .localCheckpoint(eager=True)
+        )
+    sgn = (
+        z.orderBy(F.abs(F.col("z")).desc(), F.col("i").asc())
+        .limit(1)
+        .select(
+            F.when(F.col("z") < 0, F.lit(-1.0))
+            .otherwise(F.lit(1.0))
+            .alias("sgn")
+        )
+    )
+    return z.crossJoin(F.broadcast(sgn)).select(
+        "i", (F.col("z") * F.col("sgn")).alias("z")
+    )

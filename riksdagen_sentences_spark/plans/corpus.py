@@ -5350,6 +5350,60 @@ _register(
 )
 
 
+_PC_ITER = 3
+
+
+def _embedding_top_pc(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.linalg import top_principal_component
+
+    out = top_principal_component(
+        _read(spark, sf, "embeddings"), n_iter=_PC_ITER
+    )
+    return out.select(
+        "i",
+        (F.floor(F.col("z") * 10000.0 + F.lit(0.5)) / 10000.0).alias("z_r"),
+    ).orderBy(F.col("i").asc())
+
+
+def _pc_sql(dim: int, n_iter: int) -> str:
+    parts = [
+        "WITH ev AS (SELECT CAST(embedding AS DOUBLE[]) AS e "
+        "FROM embeddings), "
+        "gm AS MATERIALIZED (SELECT ii.i, jj.j, "
+        "SUM(e[ii.i + 1] * e[jj.j + 1]) AS v FROM ev, "
+        f"(SELECT unnest(range(0, {dim})) AS i) ii, "
+        f"(SELECT unnest(range(0, {dim})) AS j) jj GROUP BY 1, 2), "
+        "z0 AS (SELECT DISTINCT i, 1.0 AS z FROM gm), ",
+    ]
+    for r in range(1, n_iter + 1):
+        parts.append(
+            f"y{r} AS MATERIALIZED (SELECT g.i, SUM(g.v * z.z) AS y "
+            f"FROM gm g JOIN z{r - 1} z ON g.j = z.i GROUP BY 1), "
+            f"z{r} AS MATERIALIZED (SELECT i, "
+            f"y / (SELECT sqrt(SUM(y * y)) FROM y{r}) AS z FROM y{r}), "
+        )
+    parts.append(
+        f"sg AS (SELECT CASE WHEN z < 0 THEN -1.0 ELSE 1.0 END AS sgn "
+        f"FROM z{n_iter} ORDER BY abs(z) DESC, i ASC LIMIT 1) "
+        f"SELECT CAST(i AS INT) AS i, "
+        "floor(z * (SELECT sgn FROM sg) * 10000.0 + 0.5) / 10000.0 AS z_r "
+        f"FROM z{n_iter} ORDER BY i ASC"
+    )
+    return "".join(parts)
+
+
+# Distributed PCA, the scalable shape: the corpus collapses into the
+# dim^2 Gram matrix in ONE pass (map-side-combined products of
+# DOUBLE-cast components - each product exact, only sum order moves the
+# result, absorbed by 4dp rounding), then fixed-round power iteration
+# runs on the 4096-row aggregate.
+_register(
+    "embedding_top_pc",
+    _embedding_top_pc,
+    _pc_sql(_EMB_DIMS, _PC_ITER),
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------

@@ -371,3 +371,29 @@ def test_commit_churn_counts_content_changes_only(spark):
     }
     # seq 0: both files first appear; seq 1: only b changes; seq 2: only a
     assert got == {("r", 0): 2, ("r", 1): 1, ("r", 2): 1}
+
+
+# ---------------------------------------------------------------------------
+# power iteration / top principal component
+# ---------------------------------------------------------------------------
+
+
+def test_top_pc_recovers_rank_one_direction(spark):
+    import math
+
+    from riksdagen_sentences_spark.operators.linalg import (
+        top_principal_component,
+    )
+
+    # rank-1 data: every row is a multiple of u -> the top PC IS u
+    # (up to sign; the sign rule makes the largest-|z| component
+    # positive, and u's largest component is positive already)
+    u = [3.0, 0.0, -1.0, 2.0]
+    nrm = math.sqrt(sum(x * x for x in u))
+    rows = [([a * x for x in u],) for a in (1.0, -2.0, 0.5, 4.0)]
+    vecs = spark.createDataFrame(rows, "embedding array<float>")
+    got = {
+        r.i: r.z for r in top_principal_component(vecs, n_iter=3).collect()
+    }
+    for i, x in enumerate(u):
+        assert got[i] == pytest.approx(x / nrm, abs=1e-6), i
