@@ -83,3 +83,44 @@ def top_principal_component(
     return z.crossJoin(F.broadcast(sgn)).select(
         "i", (F.col("z") * F.col("sgn")).alias("z")
     )
+
+
+def remove_top_component(
+    vecs: DataFrame,
+    pc: DataFrame,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-but-the-top post-processing (Mu & Viswanath 2018): project
+    the dominant direction out of every embedding,
+
+        x' = x - (x . z) z
+
+    the standard anisotropy correction before cosine retrieval.  The
+    eigenvector is dim rows - it rides in as a broadcast collected into
+    ONE array literal-free zip: the per-row projection is a single
+    ``aggregate`` over zipped arrays, zero shuffle on the corpus.
+    Returns the input columns with ``embedding_abtt`` (array<double>)
+    appended.
+
+    ``pc`` is the (i, z) frame from :func:`top_principal_component`
+    (pass the same vectors and rounds for self-consistency).
+    """
+    zs = F.array(
+        *[
+            F.lit(float(r["z"]))
+            for r in sorted(pc.collect(), key=lambda r: r["i"])
+        ]
+    )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, zs, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    proj = F.zip_with(v, zs, lambda a, b: a - F.col("__dot") * b)
+    return (
+        vecs.withColumn("__dot", dot)
+        .withColumn("embedding_abtt", proj)
+        .drop("__dot")
+    )

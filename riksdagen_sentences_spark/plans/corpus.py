@@ -5365,9 +5365,12 @@ def _embedding_top_pc(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy(F.col("i").asc())
 
 
-def _pc_sql(dim: int, n_iter: int) -> str:
+def _pc_ctes(dim: int, n_iter: int) -> str:
+    """WITH-clause body computing the sign-fixed top PC: exposes
+    ``ev`` (DOUBLE[] embeddings), ``z{n_iter}`` (unsigned PC) and
+    ``sg`` (the sign scalar)."""
     parts = [
-        "WITH ev AS (SELECT CAST(embedding AS DOUBLE[]) AS e "
+        "ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
         "FROM embeddings), "
         "gm AS MATERIALIZED (SELECT ii.i, jj.j, "
         "SUM(e[ii.i + 1] * e[jj.j + 1]) AS v FROM ev, "
@@ -5383,13 +5386,19 @@ def _pc_sql(dim: int, n_iter: int) -> str:
             f"y / (SELECT sqrt(SUM(y * y)) FROM y{r}) AS z FROM y{r}), "
         )
     parts.append(
-        f"sg AS (SELECT CASE WHEN z < 0 THEN -1.0 ELSE 1.0 END AS sgn "
-        f"FROM z{n_iter} ORDER BY abs(z) DESC, i ASC LIMIT 1) "
-        f"SELECT CAST(i AS INT) AS i, "
+        "sg AS (SELECT CASE WHEN z < 0 THEN -1.0 ELSE 1.0 END AS sgn "
+        f"FROM z{n_iter} ORDER BY abs(z) DESC, i ASC LIMIT 1)"
+    )
+    return "".join(parts)
+
+
+def _pc_sql(dim: int, n_iter: int) -> str:
+    return (
+        f"WITH {_pc_ctes(dim, n_iter)} "
+        "SELECT CAST(i AS INT) AS i, "
         "floor(z * (SELECT sgn FROM sg) * 10000.0 + 0.5) / 10000.0 AS z_r "
         f"FROM z{n_iter} ORDER BY i ASC"
     )
-    return "".join(parts)
 
 
 # Distributed PCA, the scalable shape: the corpus collapses into the
@@ -5401,6 +5410,63 @@ _register(
     "embedding_top_pc",
     _embedding_top_pc,
     _pc_sql(_EMB_DIMS, _PC_ITER),
+)
+
+
+def _embedding_abtt_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """All-but-the-top (Mu & Viswanath 2018) diagnostics: per vector,
+    the norm, the dominant-direction component (x . z), and the
+    post-projection norm sqrt(|x|^2 - (x . z)^2) - the exact identity
+    for a unit z, mirrored by the oracle so both engines run the same
+    closed form.  z is dim rows, collected once as plan literals; the
+    corpus is touched by pure per-row array expressions (zero shuffle)."""
+    from ..operators.linalg import top_principal_component
+
+    emb = _read(spark, sf, "embeddings")
+    pc = top_principal_component(emb, n_iter=_PC_ITER)
+    zs = F.array(
+        *[
+            F.lit(float(r["z"]))
+            for r in sorted(pc.collect(), key=lambda r: r["i"])
+        ]
+    )
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, zs, lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    xx = F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    r4 = lambda c: F.floor(c * 10000.0 + F.lit(0.5)) / 10000.0  # noqa: E731
+    return emb.select(
+        "vec_id",
+        r4(F.sqrt(xx)).alias("norm_r"),
+        r4(dot).alias("dot_r"),
+        r4(F.sqrt(F.greatest(xx - dot * dot, F.lit(0.0)))).alias(
+            "norm_abtt_r"
+        ),
+    ).orderBy(F.col("vec_id").asc())
+
+
+_register(
+    "embedding_abtt_stats",
+    _embedding_abtt_stats,
+    f"""
+WITH {_pc_ctes(_EMB_DIMS, _PC_ITER)},
+zl AS (SELECT list(z * (SELECT sgn FROM sg) ORDER BY i) AS zv
+       FROM z{_PC_ITER})
+SELECT vec_id,
+  floor(sqrt(list_dot_product(e, e)) * 10000.0 + 0.5) / 10000.0
+    AS norm_r,
+  floor(list_dot_product(e, (SELECT zv FROM zl)) * 10000.0 + 0.5)
+    / 10000.0 AS dot_r,
+  floor(sqrt(greatest(list_dot_product(e, e) -
+        pow(list_dot_product(e, (SELECT zv FROM zl)), 2), 0.0))
+        * 10000.0 + 0.5) / 10000.0 AS norm_abtt_r
+FROM ev ORDER BY vec_id ASC
+""",
 )
 
 

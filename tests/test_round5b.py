@@ -397,3 +397,34 @@ def test_top_pc_recovers_rank_one_direction(spark):
     }
     for i, x in enumerate(u):
         assert got[i] == pytest.approx(x / nrm, abs=1e-6), i
+
+
+def test_remove_top_component_orthogonalizes(spark):
+    import math
+
+    from riksdagen_sentences_spark.operators.linalg import (
+        remove_top_component,
+        top_principal_component,
+    )
+
+    u = [3.0, 0.0, -1.0, 2.0]
+    rows = [
+        ([a * x + d for x, d in zip(u, delta)],)
+        for a, delta in [
+            (1.0, [0.1, 0.0, 0.0, 0.0]),
+            (-2.0, [0.0, 0.2, 0.0, 0.0]),
+            (0.5, [0.0, 0.0, -0.1, 0.0]),
+            (4.0, [0.0, 0.0, 0.0, 0.1]),
+        ]
+    ]
+    vecs = spark.createDataFrame(rows, "embedding array<float>")
+    pc = top_principal_component(vecs, n_iter=8)
+    z = [r.z for r in pc.orderBy("i").collect()]
+    out = remove_top_component(vecs, pc).collect()
+    for r in out:
+        dot = sum(a * b for a, b in zip(r.embedding_abtt, z))
+        assert abs(dot) < 1e-6  # projected vectors orthogonal to the PC
+        # norm can only shrink
+        before = math.sqrt(sum(float(x) ** 2 for x in r.embedding))
+        after = math.sqrt(sum(x ** 2 for x in r.embedding_abtt))
+        assert after <= before + 1e-9
