@@ -14,7 +14,14 @@ Cluster launch:
         jobs/train_tokenizer.py \\
         --input  s3://bucket/documents \\
         --output s3://bucket/tokenizer \\
-        --merges 32000
+        --merges 512
+
+Each merge is one (vocabulary-sized) Spark job, so per-round latency -
+not data volume - bounds the practical merge count at a few hundred to
+a few thousand.  A full 32k-merge production vocabulary would batch
+non-overlapping merges per round or collect the (tiny) word-frequency
+table and finish driver-side; the corpus-pass half, which is the part
+that actually scales with data, is identical either way.
 
 Local sandbox:
 
