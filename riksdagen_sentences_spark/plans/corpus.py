@@ -5470,6 +5470,100 @@ FROM ev ORDER BY vec_id ASC
 )
 
 
+def _streaming_cm_replay(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.incremental import replay_cm_heavy_hitters
+
+    return replay_cm_heavy_hitters(
+        spark, _read(spark, sf, "documents"), k=20, n_slices=4
+    )
+
+
+# Counter addition is exactly associative (all-integer grid), so the
+# stream-built sketch is bit-identical to the one-shot batch sketch and
+# the batch heavy-hitters oracle applies VERBATIM.
+_register(
+    "streaming_cm_heavy_hitters_replay",
+    _streaming_cm_replay,
+    _cm_hh_sql(),
+)
+
+
+def _fuzzy_token_matches(spark: SparkSession, sf: str) -> DataFrame:
+    """Typo-tolerant linking: the 20 most frequent corpus tokens as the
+    'dictionary', matched against every distinct corpus token PLUS a
+    deterministic planted-typo set (one trailing insertion and one
+    head deletion per dictionary form - the all-distant lorem vocabulary
+    would otherwise green-light the operator vacuously with 0 rows)
+    within Levenshtein distance 1 via the SymSpell symmetric-delete
+    join - the fuzzy upgrade of the reference's exact-form linksTo
+    semantics."""
+    from ..operators.fuzzy import fuzzy_matches
+
+    toks = (
+        _read(spark, sf, "documents")
+        .select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    dict_ = (
+        toks.orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(20)
+        .select(F.col("term").alias("form"))
+        .persist()
+    )
+    planted = dict_.select(
+        F.concat(F.col("form"), F.lit("s")).alias("term")
+    ).unionByName(
+        dict_.filter(F.length("form") >= 2).select(
+            F.expr("substring(form, 2)").alias("term")
+        )
+    )
+    terms = toks.select("term").unionByName(planted)
+    out = fuzzy_matches(terms, dict_)
+    _track(toks)
+    _track(dict_)
+    return (
+        out.filter(F.col("form") != F.col("term"))
+        .orderBy(F.col("form").asc(), F.col("term").asc())
+    )
+
+
+_FUZZY_VARIANTS_SQL = (
+    "list_transform(range(0, len({w}) + 1), i -> "
+    "CASE WHEN i = 0 THEN {w} ELSE "
+    "substr({w}, 1, CAST(i - 1 AS INT)) || "
+    "substr({w}, CAST(i + 1 AS INT)) END)"
+)
+
+_register(
+    "fuzzy_token_matches",
+    _fuzzy_token_matches,
+    f"""
+WITH toks AS (SELECT token AS term, COUNT(*) AS n FROM ({_SKETCH_TOK})
+              WHERE token <> '' GROUP BY 1),
+dict AS (SELECT term AS form FROM toks
+         ORDER BY n DESC, term ASC LIMIT 20),
+allt AS (SELECT term FROM toks
+         UNION ALL SELECT form || 's' FROM dict
+         UNION ALL SELECT substr(form, 2) FROM dict WHERE len(form) >= 2),
+tv AS (SELECT DISTINCT term,
+         unnest({_FUZZY_VARIANTS_SQL.format(w='term')}) AS var
+       FROM allt),
+dv AS (SELECT DISTINCT form,
+         unnest({_FUZZY_VARIANTS_SQL.format(w='form')}) AS var
+       FROM dict),
+cand AS (SELECT DISTINCT d.form, v.term FROM tv v JOIN dv d USING (var))
+SELECT form, term, CAST(levenshtein(form, term) AS INT) AS dist
+FROM cand WHERE levenshtein(form, term) <= 1 AND form <> term
+ORDER BY form ASC, term ASC
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------

@@ -750,3 +750,88 @@ def replay_hll_token_cardinality(
         return est.crossJoin(exact).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def replay_cm_heavy_hitters(
+    spark: SparkSession, docs: DataFrame, k: int = 20, n_slices: int = 4
+) -> DataFrame:
+    """(item, true_count, cm_estimate) top-``k`` heavy hitters from a
+    Count-Min sketch built THROUGH a real micro-batch stream: each
+    batch appends its own (row, bucket, c) partial grid in
+    ``foreachBatch``; the final grid merges partials with one integer
+    SUM per cell - counter addition is exactly associative, so the
+    stream-built sketch is bit-identical to the one-shot batch sketch
+    regardless of slicing (the batch heavy-hitters oracle applies
+    verbatim).  Probes (all distinct tokens) and true counts are
+    recomputed batch-side for the side-by-side, as in the batch query."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from ..operators import sketch as SK
+
+    work = tempfile.mkdtemp(prefix="sgraft_cmreplay_")
+    try:
+        os.makedirs(os.path.join(work, "in"))
+        order = Window.orderBy(F.col("doc_id").asc())
+        sliced = docs.withColumn("__slice", F.ntile(n_slices).over(order))
+        for kk in range(1, n_slices + 1):
+            _stage_slice(
+                sliced.filter(F.col("__slice") == kk).drop("__slice"),
+                work, kk,
+            )
+        parts_dir = os.path.join(work, "sketch")
+
+        def _fold_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            toks = (
+                batch_df.select(
+                    F.explode(
+                        F.split(F.lower(F.col("text")), r"\s+")
+                    ).alias("item")
+                )
+                .filter(F.col("item") != "")
+            )
+            SK.cm_sketch(toks).write.mode("append").parquet(parts_dir)
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(work, "in"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(_fold_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        grid = (
+            spark.read.parquet(parts_dir)
+            .groupBy("row", "bucket")
+            .agg(F.sum("c").alias("c"))
+        )
+        toks = (
+            docs.select(
+                F.explode(
+                    F.split(F.lower(F.col("text")), r"\s+")
+                ).alias("item")
+            )
+            .filter(F.col("item") != "")
+            .persist()
+        )
+        est = SK.cm_query(grid, toks.distinct())
+        true = toks.groupBy("item").agg(F.count("*").alias("true_count"))
+        out = (
+            est.join(true, "item")
+            .select("item", "true_count", "cm_estimate")
+            .orderBy(F.col("cm_estimate").desc(), F.col("item").asc())
+            .limit(k)
+            .localCheckpoint(eager=True)
+        )
+        toks.unpersist()
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

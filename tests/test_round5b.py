@@ -428,3 +428,46 @@ def test_remove_top_component_orthogonalizes(spark):
         before = math.sqrt(sum(float(x) ** 2 for x in r.embedding))
         after = math.sqrt(sum(x ** 2 for x in r.embedding_abtt))
         assert after <= before + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# fuzzy matching (SymSpell symmetric delete)
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_matches_equal_brute_force(spark):
+    import itertools
+
+    from riksdagen_sentences_spark.operators.fuzzy import fuzzy_matches
+
+    words = ["cat", "hat", "cart", "ca", "dog", "dot", "art", "cats"]
+    terms = spark.createDataFrame([(w,) for w in words], "term string")
+    dicts = spark.createDataFrame(
+        [(w,) for w in ["cat", "dog"]], "form string"
+    )
+    got = {
+        (r.form, r.term, r.dist)
+        for r in fuzzy_matches(terms, dicts).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {
+        (f, t, lev(f, t))
+        for f, t in itertools.product(["cat", "dog"], words)
+        if lev(f, t) <= 1
+    }
+    assert got == want
+    # sanity on the neighborhood shapes: substitution, deletion,
+    # insertion, identity all present
+    assert ("cat", "hat", 1) in got and ("cat", "ca", 1) in got
+    assert ("cat", "cats", 1) in got and ("cat", "cat", 0) in got
+    assert ("dog", "dot", 1) in got
