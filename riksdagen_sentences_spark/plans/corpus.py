@@ -5027,9 +5027,11 @@ def _bpe_merge_rules(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy(F.col("round").asc())
 
 
-def _bpe_sql(n_merges: int) -> str:
+def _bpe_ctes(n_merges: int) -> str:
+    """WITH-clause body unrolling the BPE learner: exposes ``b{r}``
+    (round-r rule) and ``wc{n_merges}`` (fully merged sequences)."""
     parts = [
-        "WITH wf AS MATERIALIZED (SELECT w, COUNT(*) AS n FROM ("
+        "wf AS MATERIALIZED (SELECT w, COUNT(*) AS n FROM ("
         "SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) "
         "AS w FROM documents) WHERE w <> '' GROUP BY w), "
         "wc0 AS MATERIALIZED (SELECT w, n, ' ' || array_to_string("
@@ -5053,21 +5055,54 @@ def _bpe_sql(n_merges: int) -> str:
             f"' ' || (SELECT merged FROM b{r}) || ' ') AS seq "
             f"FROM wc{r - 1}), "
         )
-    parts[-1] = parts[-1][:-2] + " "
-    parts.append(
-        " UNION ALL ".join(
+    parts[-1] = parts[-1][:-2]
+    return "".join(parts)
+
+
+def _bpe_sql(n_merges: int) -> str:
+    return (
+        f"WITH {_bpe_ctes(n_merges)} "
+        + " UNION ALL ".join(
             f"SELECT round, w1, w2, merged, freq FROM b{r}"
             for r in range(1, n_merges + 1)
         )
         + " ORDER BY round ASC"
     )
-    return "".join(parts)
 
 
 _register(
     "bpe_merge_rules",
     _bpe_merge_rules,
     _bpe_sql(_BPE_MERGES),
+)
+
+
+def _bpe_piece_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """Learn-then-apply: segment the corpus vocabulary with the learned
+    merge rules and return the top-20 piece frequencies (occurrence-
+    weighted) - the distribution the tokenizer actually reshapes."""
+    from ..operators.bpe import learn_bpe, segment_words
+
+    docs = _read(spark, sf, "documents")
+    merges = learn_bpe(docs, n_merges=_BPE_MERGES)
+    seg = segment_words(docs, merges)
+    return (
+        seg.select("n", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("n").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(20)
+    )
+
+
+_register(
+    "bpe_piece_vocab_top20",
+    _bpe_piece_vocab,
+    f"WITH {_bpe_ctes(_BPE_MERGES)} "
+    "SELECT piece, CAST(SUM(n) AS BIGINT) AS cnt FROM ("
+    "SELECT n, unnest(string_split(trim(seq), '  ')) AS piece "
+    f"FROM wc{_BPE_MERGES}) "
+    "GROUP BY piece ORDER BY cnt DESC, piece ASC LIMIT 20",
 )
 
 
