@@ -5599,6 +5599,49 @@ ORDER BY form ASC, term ASC
 )
 
 
+_N_SHARDS = 8
+
+
+def _training_shard_assignment(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global shuffle + sharding for training order:
+    shard = md5 fold of the id mod N (uniform, engine-portable), pos =
+    md5-rank within the shard - the epoch-stable data order every
+    trainer needs, reproducible across engines and cluster sizes.
+    One window per shard partition; at a trillion rows the same md5
+    sort key feeds a write partitioned by shard with per-file ordering
+    (sortWithinPartitions) instead of a rank column."""
+    from pyspark.sql.window import Window as W
+
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    w = W.partitionBy("shard").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        _read(spark, sf, "documents")
+        .select("doc_id", (h % _N_SHARDS).cast("int").alias("shard"))
+        .withColumn("pos", F.row_number().over(w))
+        .orderBy(F.col("shard").asc(), F.col("pos").asc())
+    )
+
+
+_register(
+    "training_shard_assignment",
+    _training_shard_assignment,
+    f"""
+SELECT doc_id,
+  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+       AS BIGINT) % {_N_SHARDS} AS INT) AS shard,
+  CAST(row_number() OVER (
+    PARTITION BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                 1, 15)) AS BIGINT) % {_N_SHARDS}
+    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS INT) AS pos
+FROM documents ORDER BY shard ASC, pos ASC
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
