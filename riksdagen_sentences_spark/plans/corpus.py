@@ -520,23 +520,37 @@ def _dup_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUP_FILES_SQL = (
-    "SELECT 'repo-' || CAST(doc_id % 7 AS VARCHAR) AS repo, "
-    "'src/' || CAST(doc_id AS VARCHAR) || '.txt' AS path, "
-    "c.commit, text AS content "
-    "FROM documents, (VALUES ('c0'), ('c1'), ('c2')) AS c(commit)"
-)
+def _dup_files_sql(commits: tuple = ("c0", "c1", "c2")) -> str:
+    vals = ", ".join(f"('{c}')" for c in commits)
+    return (
+        "SELECT 'repo-' || CAST(doc_id % 7 AS VARCHAR) AS repo, "
+        "'src/' || CAST(doc_id AS VARCHAR) || '.txt' AS path, "
+        f"c.commit, text AS content "
+        f"FROM documents, (VALUES {vals}) AS c(commit)"
+    )
+
+
+_DUP_FILES_SQL = _dup_files_sql()
+
+
+def _dup_graph_sql(commits: tuple = ("c0", "c1", "c2")) -> str:
+    """From-scratch six-predicate graph SQL over the duplicated files
+    view restricted to ``commits``."""
+    return (
+        "WITH __dup_files AS ("
+        f"{_dup_files_sql(commits)}"
+        "), __dup_src AS ("
+        f"SELECT {uuid5_sql(chr(39) + 'document' + chr(39), 'repo', 'path', 'commit')} "
+        "AS doc_id, content AS text FROM __dup_files"
+        f"),{sentence_ctes('__dup_src', include_planted=False)}{token_ctes()} "
+        f"SELECT subj, pred, obj FROM ({_GRAPH_UNION_SQL})"
+    )
+
 
 _register(
     "triples_dedup_graph",
     lambda spark, sf: P.triples_dedup(spark, _dup_files(spark, sf)),
-    "WITH __dup_files AS ("
-    f"{_DUP_FILES_SQL}"
-    "), __dup_src AS ("
-    f"SELECT {uuid5_sql(chr(39) + 'document' + chr(39), 'repo', 'path', 'commit')} "
-    "AS doc_id, content AS text FROM __dup_files"
-    f"),{sentence_ctes('__dup_src', include_planted=False)}{token_ctes()} "
-    f"SELECT subj, pred, obj FROM ({_GRAPH_UNION_SQL})",
+    _dup_graph_sql(),
 )
 
 
@@ -558,16 +572,57 @@ def _delta_assembled(spark: SparkSession, sf: str) -> DataFrame:
     if key not in _DELTA_MEMO:
         store = tempfile.mkdtemp(prefix="sgraft_delta_store_")
         files = _dup_files(spark, sf)
-        DL.update_graph(spark, store, files.filter(F.col("commit") != "c2"))
+        c1 = DL.update_graph(
+            spark, store, files.filter(F.col("commit") != "c2")
+        )
         DL.update_graph(spark, store, files.filter(F.col("commit") == "c2"))
-        _DELTA_MEMO[key] = store
-    return DL.assemble_graph(spark, _DELTA_MEMO[key])
+        _DELTA_MEMO[key] = (store, c1["batch_id"])
+    return DL.assemble_graph(spark, _DELTA_MEMO[key][0])
 
 
 _register(
     "triples_delta_graph",
     _delta_assembled,
     ORACLES["triples_dedup_graph"],
+)
+
+
+def _delta_graph_asof_batch1(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot read AS OF the first applied batch (commits c0+c1): the
+    Iceberg time-travel analog on the delta STORE - assemble_graph
+    restricted to a committed batch-id subset must equal the
+    from-scratch build over exactly that batch's files, with batch 2's
+    rows invisible."""
+    from . import delta as DL
+
+    _delta_assembled(spark, sf)  # ensure the store exists
+    store, batch1 = _DELTA_MEMO[(spark.sparkContext.applicationId, sf)]
+    return DL.assemble_graph(spark, store, as_of_batches=[batch1])
+
+
+_register(
+    "delta_graph_asof_batch1",
+    _delta_graph_asof_batch1,
+    _dup_graph_sql(("c0", "c1")),
+)
+
+
+def _delta_batch2_added(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot DIFF: the triples batch 2 (commit c2) added - the
+    full assembly minus the as-of-batch-1 assembly (exceptAll keeps
+    multiset semantics; here all added rows are distinct because c2's
+    document ids hash the commit).  Exactly the c2 documents'
+    doc-dependent edges: content-only edges dedup across batches and
+    contribute nothing, which is the whole point of the
+    content-addressed store."""
+    full = _delta_assembled(spark, sf)
+    return full.exceptAll(_delta_graph_asof_batch1(spark, sf))
+
+
+_register(
+    "delta_batch2_added_triples",
+    _delta_batch2_added,
+    f"({_dup_graph_sql()}) EXCEPT ALL ({_dup_graph_sql(('c0', 'c1'))})",
 )
 
 

@@ -222,6 +222,7 @@ def update_graph(
             "files_skipped": n,
             "contents_fresh": 0,
             "contents_reused": 0,
+            "batch_id": batch,
         }
     known_files = _read_or_empty(spark, store_dir, "files_ledger", committed)
     fresh_files = mapping.join(
@@ -255,6 +256,7 @@ def update_graph(
             "files_skipped": n_files,
             "contents_fresh": 0,
             "contents_reused": 0,
+            "batch_id": batch,
         }
 
     if n_fresh_contents > 0:
@@ -289,16 +291,35 @@ def update_graph(
         "files_skipped": n_files - n_fresh_files,
         "contents_fresh": n_fresh_contents,
         "contents_reused": n_fresh_files - n_fresh_contents,
+        "batch_id": batch,
     }
 
 
-def assemble_graph(spark: SparkSession, store_dir: str) -> DataFrame:
+def assemble_graph(
+    spark: SparkSession,
+    store_dir: str,
+    as_of_batches: list[str] | None = None,
+) -> DataFrame:
     """The full (subj, pred, obj) graph over every batch applied so
     far - row-set identical to ``triples_dedup`` (and the naive
     ``triples``) over the union of all submitted files.  Content-only
     edges are re-distinct'ed across batches: a content fresh in batch 2
-    may repeat a (rawtoken, normtoken) pair batch 1 already emitted."""
+    may repeat a (rawtoken, normtoken) pair batch 1 already emitted.
+
+    ``as_of_batches`` restricts the read to a subset of COMMITTED batch
+    ids - the Iceberg snapshot-read analog on the store: the graph
+    exactly as it stood when only those batches had been applied
+    (update_graph returns each batch's id).  Requesting an uncommitted
+    id raises - an as-of read of a snapshot that never existed is a
+    caller bug, not an empty result."""
     committed = _committed_batches(spark, store_dir)
+    if as_of_batches is not None:
+        missing = sorted(set(as_of_batches) - set(committed))
+        if missing:
+            raise ValueError(
+                f"as_of_batches not committed in {store_dir}: {missing}"
+            )
+        committed = [b for b in committed if b in set(as_of_batches)]
     skel = {
         name: _read_or_empty(spark, store_dir, name, committed)
         for name in SKEL_TABLES

@@ -471,3 +471,34 @@ def test_fuzzy_matches_equal_brute_force(spark):
     assert ("cat", "hat", 1) in got and ("cat", "ca", 1) in got
     assert ("cat", "cats", 1) in got and ("cat", "cat", 0) in got
     assert ("dog", "dot", 1) in got
+
+
+# ---------------------------------------------------------------------------
+# delta store as-of reads
+# ---------------------------------------------------------------------------
+
+
+def test_assemble_graph_asof_rejects_uncommitted_batch(spark, tmp_path):
+    import pytest as _pytest
+
+    from riksdagen_sentences_spark.plans import delta as DL
+
+    store = str(tmp_path / "store")
+    files = spark.createDataFrame(
+        [(
+            "r", "a.txt", "c0", "text",
+            "the quick brown fox jumps over the lazy dog in the house "
+            "and the cat is on the mat with the dog",
+        )],
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    counts = DL.update_graph(spark, store, files)
+    assert counts["batch_id"]
+    # a committed id works; a fabricated one raises (a snapshot that
+    # never existed must not read as empty)
+    assert DL.assemble_graph(
+        spark, store, as_of_batches=[counts["batch_id"]]
+    ).count() > 0
+    with _pytest.raises(ValueError, match="not committed"):
+        DL.assemble_graph(spark, store, as_of_batches=["nope"]).count()
