@@ -4474,9 +4474,12 @@ def _entity_lpa(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _lpa_sql(n_iter: int) -> str:
+def _lpa_ctes(n_iter: int) -> str:
+    """WITH-clause body unrolling synchronous LPA: exposes ``pairs``
+    (canonical a<b edges), ``und`` (symmetric) and ``l{n_iter}``
+    (final labels)."""
     parts = [
-        f"WITH {sentence_ctes()}, {_COOC_CTES}, ",
+        f"{sentence_ctes()}, {_COOC_CTES}, ",
         "und AS MATERIALIZED (SELECT a AS u, b AS v FROM pairs "
         "UNION SELECT b, a FROM pairs), ",
         "l0 AS (SELECT DISTINCT u AS node, u AS label FROM und), ",
@@ -4489,18 +4492,107 @@ def _lpa_sql(n_iter: int) -> str:
             "QUALIFY row_number() OVER (PARTITION BY node "
             "ORDER BY c DESC, label ASC) = 1), "
         )
-    parts[-1] = parts[-1][:-2] + " "
-    parts.append(
+    parts[-1] = parts[-1][:-2]
+    return "".join(parts)
+
+
+def _lpa_sql(n_iter: int) -> str:
+    return (
+        f"WITH {_lpa_ctes(n_iter)} "
         "SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members "
         f"FROM l{n_iter} GROUP BY 1"
     )
-    return "".join(parts)
 
 
 _register(
     "entity_lpa_communities",
     _entity_lpa,
     _lpa_sql(_LPA_ITER),
+)
+
+
+def _entity_lpa_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    """Newman modularity of the LPA partition over the co-occurrence
+    graph: Q = sum_c [ L_c/m - (d_c/(2m))^2 ] - the standard quality
+    score for a community structure (positive = denser-than-chance
+    cores).  One label join per edge endpoint plus three catalog-sized
+    aggregates; the per-community terms sum once, rounded half-up 4dp."""
+    from ..operators.graph import label_propagation
+
+    pairs = _track(
+        cooccurrence_pairs(_mention_edge_frame(spark, sf))
+        .select("a", "b")
+        .persist()
+    )
+    labels = _track(
+        label_propagation(
+            pairs.select(F.col("a").alias("subj"), F.col("b").alias("obj")),
+            n_iter=_LPA_ITER,
+        ).persist()
+    )
+    sym = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).dropDuplicates(["u", "v"])
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    dcf = (
+        labels.join(deg, "node")
+        .groupBy("label")
+        .agg(F.sum("d").cast("double").alias("dc"))
+    )
+    la = labels.select(F.col("node").alias("a"), F.col("label").alias("la"))
+    lb = labels.select(F.col("node").alias("b"), F.col("label").alias("lb"))
+    intra = (
+        pairs.join(la, "a").join(lb, "b")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count("*").cast("double").alias("ic"))
+    )
+    mm = pairs.agg(F.count("*").cast("double").alias("m"))
+    terms = (
+        dcf.join(intra, "label", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            (
+                F.coalesce(F.col("ic"), F.lit(0.0)) / F.col("m")
+                - F.pow(F.col("dc") / (2.0 * F.col("m")), 2)
+            ).alias("t")
+        )
+    )
+    ncomm = labels.select("label").distinct().agg(
+        F.count("*").alias("n_communities")
+    )
+    nedges = pairs.agg(F.count("*").alias("n_edges"))
+    q = terms.agg(
+        (F.floor(F.sum("t") * 10000.0 + F.lit(0.5)) / 10000.0).alias(
+            "modularity_r"
+        )
+    )
+    return ncomm.crossJoin(nedges).crossJoin(q)
+
+
+_register(
+    "entity_lpa_modularity",
+    _entity_lpa_modularity,
+    f"""
+WITH {_lpa_ctes(_LPA_ITER)},
+mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM pairs),
+deg AS (SELECT u AS node, COUNT(*) AS d FROM und GROUP BY 1),
+dc AS (SELECT l.label, CAST(SUM(deg.d) AS DOUBLE) AS dc
+       FROM l{_LPA_ITER} l JOIN deg ON deg.node = l.node GROUP BY 1),
+intra AS (SELECT la.label, CAST(COUNT(*) AS DOUBLE) AS ic
+          FROM pairs p
+          JOIN l{_LPA_ITER} la ON la.node = p.a
+          JOIN l{_LPA_ITER} lb ON lb.node = p.b
+          WHERE la.label = lb.label GROUP BY 1)
+SELECT
+  (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) FROM l{_LPA_ITER})
+    AS n_communities,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+  floor(SUM(COALESCE(i.ic, 0.0) / (SELECT m FROM mm)
+        - POW(d.dc / (2.0 * (SELECT m FROM mm)), 2)) * 10000.0 + 0.5)
+    / 10000.0 AS modularity_r
+FROM dc d LEFT JOIN intra i USING (label)
+""",
 )
 
 
@@ -4778,10 +4870,8 @@ def _doc_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy(F.col("avg_lp_r").asc(), F.col("doc").asc()).limit(20)
 
 
-_register(
-    "doc_bigram_logprob_bottom20",
-    _doc_bigram_logprob,
-    f"WITH {_TOK_CTES}, "
+_LM_LP_CTES = (
+    f"{_TOK_CTES}, "
     "big AS (SELECT doc, term AS w1, lead(term) OVER "
     "(PARTITION BY doc ORDER BY idx) AS w2 FROM t2), "
     "b2 AS (SELECT * FROM big WHERE w2 IS NOT NULL), "
@@ -4793,10 +4883,76 @@ _register(
     "lp AS (SELECT b.doc, ln((m.n + 1.0) / "
     "(g.c1 + (SELECT vsize FROM voc))) AS lp "
     "FROM b2 b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2 "
-    "JOIN marg g ON b.w1 = g.w1) "
-    "SELECT doc, COUNT(*) AS n_bigrams, "
+    "JOIN marg g ON b.w1 = g.w1), "
+    "lm_score AS (SELECT doc, COUNT(*) AS n_bigrams, "
     "floor(SUM(lp) / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS avg_lp_r "
-    "FROM lp GROUP BY doc ORDER BY avg_lp_r ASC, doc ASC LIMIT 20",
+    "FROM lp GROUP BY doc)"
+)
+
+_register(
+    "doc_bigram_logprob_bottom20",
+    _doc_bigram_logprob,
+    f"WITH {_LM_LP_CTES} "
+    "SELECT doc, n_bigrams, avg_lp_r FROM lm_score "
+    "ORDER BY avg_lp_r ASC, doc ASC LIMIT 20",
+)
+
+
+def _lm_quality_filter_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Percentile-calibrated LM quality gate: cutoff = the k-th lowest
+    per-doc average bigram log probability with k = max(n // 10, 1)
+    (the bottom-decile VALUE, integer-rank-selected so both engines
+    pick the identical cutoff), n_below = docs strictly under it -
+    the CCNet-style 'drop the most model-surprising decile' recipe
+    with the calibration itself under the oracle.  The rank window
+    here is over the per-DOC score table; at extreme doc counts the
+    cutoff selection becomes a two-pass count+filter instead."""
+    from pyspark.sql.window import Window as W
+
+    from ..operators.ranking import doc_bigram_logprob
+
+    scores = doc_bigram_logprob(
+        _read(spark, sf, "documents")
+    ).persist()
+    rk = scores.withColumn(
+        "r",
+        F.row_number().over(
+            W.orderBy(F.col("avg_lp_r").asc(), F.col("doc").asc())
+        ),
+    )
+    kk = scores.agg(
+        F.greatest(F.floor(F.count("*") / 10), F.lit(1)).alias("k")
+    )
+    cutoff = (
+        rk.crossJoin(F.broadcast(kk))
+        .filter(F.col("r") == F.col("k"))
+        .select(F.col("avg_lp_r").alias("cutoff_r"))
+    )
+    n_docs = scores.agg(F.count("*").alias("n_docs"))
+    n_below = (
+        scores.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("avg_lp_r") < F.col("cutoff_r"))
+        .agg(F.count("*").alias("n_below"))
+    )
+    _track(scores)
+    return n_docs.crossJoin(cutoff).crossJoin(n_below)
+
+
+_register(
+    "lm_quality_filter_stats",
+    _lm_quality_filter_stats,
+    f"""
+WITH {_LM_LP_CTES},
+rk AS (SELECT avg_lp_r, row_number() OVER (
+         ORDER BY avg_lp_r ASC, doc ASC) AS r FROM lm_score),
+kk AS (SELECT GREATEST(COUNT(*) // 10, 1) AS k FROM lm_score),
+cutoff AS (SELECT avg_lp_r AS cutoff_r FROM rk
+           WHERE r = (SELECT k FROM kk))
+SELECT (SELECT COUNT(*) FROM lm_score) AS n_docs,
+       (SELECT cutoff_r FROM cutoff) AS cutoff_r,
+       (SELECT COUNT(*) FROM lm_score
+        WHERE avg_lp_r < (SELECT cutoff_r FROM cutoff)) AS n_below
+""",
 )
 
 
