@@ -5853,6 +5853,127 @@ FROM documents ORDER BY shard ASC, pos ASC
 )
 
 
+def _sliding_window_active_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct active users per 30-minute window sliding every 10
+    minutes (each event lands in exactly 3 overlapping windows) - the
+    sliding-window twin of the tumbling `windowed_event_counts`.
+    Spark's window(slide) generator and the oracle's explicit 3-offset
+    unnest produce the identical window set; COUNT(DISTINCT) per window
+    is the scale cost (swap in the grouped HLL for the sketch form)."""
+    ev = _read(spark, sf, "events")
+    w = F.window("ts", "30 minutes", "10 minutes")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "active_users",
+        )
+        .orderBy(F.col("window_start").asc())
+    )
+
+
+_register(
+    "sliding_window_active_users",
+    _sliding_window_active_users,
+    """
+WITH e AS (
+  SELECT user_id,
+         time_bucket(INTERVAL '10 minutes', ts)
+           - k.o * INTERVAL '10 minutes' AS wstart
+  FROM events, (SELECT unnest([0, 1, 2]) AS o) k
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(DISTINCT user_id) AS active_users
+FROM e GROUP BY wstart ORDER BY window_start ASC
+""",
+)
+
+
+def _event_value_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust outlier profile: median and MAD (median absolute
+    deviation) of event values, both selected by INTEGER rank (lower
+    middle for even counts - deterministic across engines, no
+    percentile interpolation), and the count of events with
+    |x - median| > 5 * MAD.  Values compare in DECIMAL(18,2) so
+    equality and ordering are exact."""
+    from pyspark.sql.window import Window as W
+
+    ev = _read(spark, sf, "events").select(
+        "event_id", F.col("value").cast("decimal(18,2)").alias("v")
+    ).persist()
+    n2 = ev.agg(
+        F.floor((F.count("*") + 1) / 2).cast("bigint").alias("mid")
+    )
+    med = (
+        ev.withColumn(
+            "r",
+            F.row_number().over(W.orderBy(F.col("v").asc(),
+                                          F.col("event_id").asc())),
+        )
+        .crossJoin(F.broadcast(n2))
+        .filter(F.col("r") == F.col("mid"))
+        .select(F.col("v").alias("med"))
+    )
+    dev = ev.crossJoin(F.broadcast(med)).select(
+        "event_id", F.abs(F.col("v") - F.col("med")).alias("ad"),
+        "med",
+    ).persist()
+    mad = (
+        dev.withColumn(
+            "r",
+            F.row_number().over(W.orderBy(F.col("ad").asc(),
+                                          F.col("event_id").asc())),
+        )
+        .crossJoin(F.broadcast(n2))
+        .filter(F.col("r") == F.col("mid"))
+        .select(F.col("ad").alias("mad"))
+    )
+    out = (
+        dev.crossJoin(F.broadcast(mad))
+        .filter(F.col("ad") > F.lit(5) * F.col("mad"))
+        .agg(F.count("*").alias("n_outliers"))
+    )
+    res = (
+        med.crossJoin(mad).crossJoin(out)
+        .select(
+            F.col("med").cast("double").alias("median_v"),
+            F.col("mad").cast("double").alias("mad_v"),
+            "n_outliers",
+        )
+    )
+    _track(ev)
+    _track(dev)
+    return res
+
+
+_register(
+    "event_value_mad_outliers",
+    _event_value_mad_outliers,
+    """
+WITH ev AS (SELECT event_id, CAST(value AS DECIMAL(18,2)) AS v
+            FROM events),
+n2 AS (SELECT CAST(floor((COUNT(*) + 1) / 2) AS BIGINT) AS mid FROM ev),
+med AS (SELECT v AS med FROM (
+          SELECT v, row_number() OVER (ORDER BY v ASC, event_id ASC)
+            AS r FROM ev)
+        WHERE r = (SELECT mid FROM n2)),
+dev AS (SELECT event_id, abs(v - (SELECT med FROM med)) AS ad FROM ev),
+mad AS (SELECT ad AS mad FROM (
+          SELECT ad, event_id,
+                 row_number() OVER (ORDER BY ad ASC, event_id ASC) AS r
+          FROM dev)
+        WHERE r = (SELECT mid FROM n2))
+SELECT CAST((SELECT med FROM med) AS DOUBLE) AS median_v,
+       CAST((SELECT mad FROM mad) AS DOUBLE) AS mad_v,
+       (SELECT COUNT(*) FROM dev
+        WHERE ad > 5 * (SELECT mad FROM mad)) AS n_outliers
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
