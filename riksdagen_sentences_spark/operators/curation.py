@@ -54,6 +54,58 @@ def _ratio4(num: Column, den: Column) -> Column:
     return F.floor(raw * 10000.0 + F.lit(0.5)) / 10000.0
 
 
+def dup_ngram_ratio_col(text: Column, k: int = REPETITION_K) -> Column:
+    """The duplicate-k-gram ratio as a bare column expression (the
+    composed curation chain attaches it with withColumn - joining the
+    ``repetition_stats`` frame back onto its own source would make the
+    optimizer inline and re-evaluate the array expressions into every
+    join branch)."""
+    grams = _grams_col(text, k)
+    total = F.size(grams)
+    uniq = F.size(F.array_distinct(grams))
+    return _ratio4(total - uniq, total)
+
+
+def dup_ngram_ratio_agg(
+    docs: DataFrame, text_col: str = "text", k: int = REPETITION_K
+) -> DataFrame:
+    """(doc_id, dup_ngram_ratio) by explode + lead-window + one hash
+    aggregate - bit-identical values to :func:`dup_ngram_ratio_col`
+    (the same integer total/distinct counts feed the same 4dp floor),
+    ~10x faster on long documents: the per-row array formulation pays
+    interpreted higher-order functions per gram (measured 14 s for the
+    column vs 1.5 s for this shape over sf0.1), while the exploded form
+    stays in whole-stage codegen.  Costs one shuffle on doc_id; docs
+    with fewer than ``k`` words produce no grams and come back at ratio
+    0.0 via the caller's left join + coalesce."""
+    from pyspark.sql.window import Window
+
+    from .neardup import normalized_text_col
+
+    w = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.split(normalized_text_col(F.col(text_col)), " ")
+            ).alias("pos", "w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("w", i).over(win) for i in range(1, k)]
+    gram = F.when(
+        leads[-1].isNotNull(), F.concat_ws(" ", F.col("w"), *leads)
+    )
+    g = w.select("doc_id", gram.alias("gram")).filter(
+        F.col("gram").isNotNull()
+    )
+    return g.groupBy("doc_id").agg(
+        _ratio4(
+            F.count("*") - F.count_distinct(F.col("gram")), F.count("*")
+        ).alias("dup_ngram_ratio")
+    )
+
+
 def repetition_stats(
     docs: DataFrame, text_col: str = "text", k: int = REPETITION_K
 ) -> DataFrame:

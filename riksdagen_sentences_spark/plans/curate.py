@@ -54,17 +54,37 @@ def curation_stages(
     same shape production would materialize as tables between stages
     (jobs/curate_corpus.py writes exactly these).  Blocks live until
     ``spark.catalog.clearCache()`` or session end."""
-    stats = TS.doc_stats(docs).select(
-        "doc_id", "quality", "fingerprint", "bpe_tokens"
+    # enrichment as BARE COLUMN EXPRESSIONS, not a self-join of derived
+    # projection frames: joining docs against doc_stats(docs) makes the
+    # optimizer inline the (interpreted-HOF-heavy) stat trees into every
+    # join branch and drags the unused langid expressions along.  The
+    # repetition ratio instead comes from the codegen explode+aggregate
+    # shape (dup_ngram_ratio_agg - ~10x the per-row array formulation);
+    # an AGGREGATE result is an optimizer barrier, so joining it back
+    # cannot re-inline anything.
+    text = F.col("text")
+    rep = CU.dup_ngram_ratio_agg(docs)
+    enriched = docs.select(
+        "*",
+        TS.quality_score_col(text).alias("quality"),
+        TS.fingerprint_col(text).alias("fingerprint"),
+        TS.bpe_token_count_col(text).alias("bpe_tokens"),
+    ).join(rep, "doc_id", "left").withColumn(
+        "dup_ngram_ratio",
+        F.coalesce(F.col("dup_ngram_ratio"), F.lit(0.0)),
     )
-    rep = CU.repetition_stats(docs).select("doc_id", "dup_ngram_ratio")
-    enriched = docs.join(stats, "doc_id").join(rep, "doc_id")
 
     stages: dict[str, DataFrame] = {"input": docs}
     d = enriched.filter(
         (F.col("quality") >= min_quality)
         & (F.col("dup_ngram_ratio") <= max_dup_ngram_ratio)
     )
+    if cache:
+        # the quality/repetition expressions are the most expensive
+        # per-row work in the chain, and this frame feeds BOTH sides of
+        # the exact-dedup semi-join (the keep aggregate and the probe):
+        # unpersisted, the whole enrichment lineage evaluates twice
+        d = d.persist()
     stages["quality_rep"] = d
 
     keep = d.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))

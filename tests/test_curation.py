@@ -289,3 +289,39 @@ def test_leakage_safe_split_components_never_straddle(spark):
     again = {r.doc_id: r.split for r in
              leakage_safe_split(docs, pairs).collect()}
     assert again == {k: v.split for k, v in asg.items()}
+
+
+def test_dup_ngram_ratio_agg_matches_column_form(spark):
+    """The codegen explode+aggregate repetition ratio must be
+    bit-identical to the per-row array formulation (same integer
+    counts, same 4dp floor) - including short docs (< k words, absent
+    from the aggregate, ratio 0.0 via the caller's coalesce)."""
+    import pyspark.sql.functions as F
+
+    from riksdagen_sentences_spark.operators.curation import (
+        dup_ngram_ratio_agg,
+        dup_ngram_ratio_col,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),          # heavy repetition
+            (2, "one two three four five six"),  # none
+            (3, "x y"),                          # < k words
+            (4, ""),                             # empty
+            (5, "r r r r r r r r"),              # single-word run
+        ],
+        "doc_id long, text string",
+    )
+    col_form = {
+        r.doc_id: r.v
+        for r in docs.select(
+            "doc_id", dup_ngram_ratio_col(F.col("text")).alias("v")
+        ).collect()
+    }
+    agg = {
+        r.doc_id: r.dup_ngram_ratio
+        for r in dup_ngram_ratio_agg(docs).collect()
+    }
+    for d, v in col_form.items():
+        assert agg.get(d, 0.0) == v, d
