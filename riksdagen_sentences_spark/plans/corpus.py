@@ -5975,6 +5975,130 @@ SELECT CAST((SELECT med FROM med) AS DOUBLE) AS median_v,
 
 
 # ---------------------------------------------------------------------------
+# Relational-surface gaps: PIVOT, semi-structured JSON, calendar gap-fill
+# ---------------------------------------------------------------------------
+# Reference analog: the reference serves pre-shaped per-dimension counts
+# from MariaDB (SURVEY.md Q10/Q19); these re-express the same reporting
+# shapes with Spark's pivot/JSON/sequence surface so a reference user's
+# reporting queries keep working.
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _events_pivot_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    """groupBy().pivot() with an EXPLICIT value list - without it Spark
+    runs a separate distinct job to discover the pivot values (a full
+    extra scan at 100 TB)."""
+    ev = _read(spark, sf, "events")
+    piv = (
+        ev.select((F.col("user_id") % F.lit(10)).alias("cohort"),
+                  "event_type")
+        .groupBy("cohort")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "cohort",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t)
+          for t in _EVENT_TYPES],
+    )
+
+
+_register(
+    "events_pivot_by_type",
+    _events_pivot_by_type,
+    "SELECT user_id % 10 AS cohort, "
+    + ", ".join(
+        f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY 1",
+)
+
+
+def _event_props_key_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured extraction: events.props is a JSON string; pull
+    ``$.k`` JVM-side (get_json_object - no Python in the scan) and
+    histogram it by decade."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        _read(spark, sf, "events")
+        .select(k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy(F.floor(F.col("k") / F.lit(10)).alias("k_decade"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+_register(
+    "event_props_key_histogram",
+    _event_props_key_histogram,
+    """
+WITH kx AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events)
+SELECT CAST(floor(k / 10) AS BIGINT) AS k_decade, COUNT(*) AS n,
+       MIN(k) AS k_min, MAX(k) AS k_max
+FROM kx WHERE k IS NOT NULL GROUP BY 1
+""",
+)
+
+
+def _hourly_event_counts_gapfilled(spark: SparkSession, sf: str) -> DataFrame:
+    """Dense per-(type, hour) activity series: hours with no events
+    appear with n = 0 and the running cumulative stays flat.  The
+    calendar is generated (sequence + explode) from the aggregated
+    bounds, so everything after the one groupBy is proportional to
+    hours x types, not to events - the 100 TB shape."""
+    ev = _read(spark, sf, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    )
+    counts = ev.groupBy("h", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    cal = (
+        ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("h")
+        )
+    )
+    grid = cal.crossJoin(ev.select("event_type").distinct())
+    w = Window.partitionBy("event_type").orderBy(F.col("h").asc())
+    return (
+        grid.join(counts, ["h", "event_type"], "left")
+        .select(
+            "h", "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+        .withColumn("running_n", F.sum("n").over(w))
+    )
+
+
+_register(
+    "hourly_event_counts_gapfilled",
+    _hourly_event_counts_gapfilled,
+    """
+WITH ev AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+counts AS (SELECT h, event_type, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+cal AS (SELECT unnest(generate_series((SELECT MIN(h) FROM ev),
+                                      (SELECT MAX(h) FROM ev),
+                                      INTERVAL 1 HOUR)) AS h),
+grid AS (SELECT cal.h, t.event_type
+         FROM cal CROSS JOIN (SELECT DISTINCT event_type FROM ev) t)
+SELECT g.h, g.event_type, COALESCE(c.n, 0) AS n,
+       CAST(SUM(COALESCE(c.n, 0)) OVER (PARTITION BY g.event_type
+                                        ORDER BY g.h ASC) AS BIGINT)
+         AS running_n
+FROM grid g LEFT JOIN counts c
+  ON g.h = c.h AND g.event_type = c.event_type
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 entries of
