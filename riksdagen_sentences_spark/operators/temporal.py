@@ -223,3 +223,69 @@ def cohort_retention(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("u").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed band (range) join
+# ---------------------------------------------------------------------------
+
+def _idiv(c: F.Column, d: int) -> F.Column:
+    """Exact floor division of a non-negative BIGINT column.  Column
+    ``/`` divides through double, so subtract the remainder first: the
+    numerator becomes an exact multiple of ``d`` and IEEE division of
+    two exactly-representable longs (< 2^53) with an integer quotient
+    is error-free."""
+    return ((c - F.pmod(c, F.lit(d))) / F.lit(d)).cast("long")
+
+
+def range_join_buckets(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lo_s: int,
+    hi_s: int,
+) -> DataFrame:
+    """Band join: pairs of same-``key`` rows with
+    ``right_ts in (left_ts + lo_s, left_ts + hi_s]`` (seconds, half-open
+    low end - "strictly after, within the window").
+
+    The naive formulation is a theta join (``r.ts > l.ts AND r.ts <=
+    l.ts + w``): Spark plans it as a per-key cross product (BNLJ or
+    SMJ on key + filter), quadratic in the rows of a hot key.  Here
+    time is cut into fixed buckets exactly one window wide: a right row
+    falls in ONE bucket, a left row's admissible interval overlaps
+    EXACTLY TWO consecutive buckets, so exploding the left side twice
+    and equi-joining on ``(key, bucket)`` finds every pair exactly once
+    (the right row's single bucket is one of the two candidates) and
+    the hash join stays linear in true output size.  This is the
+    standard binned interval-join shape (Flink's interval join, DuckDB
+    ASOF machinery); Spark has no built-in, so it's composed from
+    explode + equi-join - no UDFs, one shuffle per side.
+
+    ``left`` and ``right`` must have disjoint column names apart from
+    ``key``; all columns of both sides are emitted.
+    """
+    if hi_s <= lo_s:
+        raise ValueError("empty band: need hi_s > lo_s")
+    w_us = (hi_s - lo_s) * 1_000_000
+    lo_us = lo_s * 1_000_000
+    hi_us = hi_s * 1_000_000
+    lus = ntz_micros(F.col(left_ts))
+    rus = ntz_micros(F.col(right_ts))
+    b0 = _idiv(lus + F.lit(lo_us), w_us)
+    lx = left.withColumn(
+        "__bucket", F.explode(F.array(b0, b0 + F.lit(1)))
+    ).withColumn("__lus", lus)
+    rx = right.withColumn("__bucket", _idiv(rus, w_us)).withColumn(
+        "__rus", rus
+    )
+    out = lx.join(rx, [key, "__bucket"]).filter(
+        (F.col("__rus") > F.col("__lus") + F.lit(lo_us))
+        & (F.col("__rus") <= F.col("__lus") + F.lit(hi_us))
+    )
+    keep = [key] + [c for c in left.columns if c != key] + [
+        c for c in right.columns if c != key
+    ]
+    return out.select(*keep)

@@ -6098,6 +6098,45 @@ FROM grid g LEFT JOIN counts c
 )
 
 
+def _view_click_pairs_within_hour(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch band join through the bucketed equi-join plan (no per-key
+    cross product): every (view, click) pair of the same user where the
+    click lands strictly within one hour after the view."""
+    from ..operators.temporal import ntz_micros, range_join_buckets
+
+    ev = _read(spark, sf, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    out = range_join_buckets(
+        views, clicks, "user_id", "view_ts", "click_ts", 0, 3600
+    )
+    return out.select(
+        "user_id", "view_id", "click_id",
+        (ntz_micros(F.col("click_ts")) - ntz_micros(F.col("view_ts")))
+        .alias("gap_us"),
+    )
+
+
+_register(
+    "view_click_pairs_within_hour",
+    _view_click_pairs_within_hour,
+    """
+SELECT v.user_id AS user_id, v.event_id AS view_id,
+       c.event_id AS click_id,
+       epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+FROM events v JOIN events c ON v.user_id = c.user_id
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+  AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 3600 SECONDS
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------

@@ -203,3 +203,53 @@ def test_cohort_retention_week_buckets(spark):
         (wk0 + 1, 0): 1,    # u3's cohort
         (wk0 + 1, 1): 1,    # u3 back one week later
     }
+
+
+def test_range_join_buckets_matches_naive_theta(spark):
+    """Bucketed band join == the naive theta join on an adversarial
+    timeline: pairs exactly on the bucket boundary, exactly at the
+    window edge (inclusive), at zero gap (excluded), and across hot and
+    singleton keys."""
+    from datetime import datetime, timedelta
+
+    from riksdagen_sentences_spark.operators.temporal import (
+        range_join_buckets,
+    )
+
+    base = datetime(2024, 1, 1)
+    # hot key 1: a burst around each hour boundary; key 2: sparse
+    rows = []
+    i = 0
+    for off_s in [0, 1, 1799, 1800, 3599, 3600, 3601, 7200, 7201, 10800]:
+        rows.append((i, 1, base + timedelta(seconds=off_s))); i += 1
+    rows += [(i, 2, base + timedelta(seconds=5))]; i += 1
+    rows += [(i + 1, 2, base + timedelta(seconds=3605))]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp"
+    )
+    left = ev.select(
+        "user_id", F.col("event_id").alias("lid"), F.col("ts").alias("lts")
+    )
+    right = ev.select(
+        "user_id", F.col("event_id").alias("rid"), F.col("ts").alias("rts")
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in range_join_buckets(
+            left, right, "user_id", "lts", "rts", 0, 3600
+        ).collect()
+    )
+    naive = sorted(
+        (a[0], b[0])
+        for a in rows
+        for b in rows
+        if a[1] == b[1]
+        and b[2] > a[2]
+        and (b[2] - a[2]).total_seconds() <= 3600
+    )
+    assert got == naive and len(got) > 0
+    # plan: equi hash/sort-merge join, never a nested-loop cross product
+    plan = range_join_buckets(
+        left, right, "user_id", "lts", "rts", 0, 3600
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
