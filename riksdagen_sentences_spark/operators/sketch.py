@@ -247,3 +247,86 @@ def bloom_probe(
 def _self_check() -> None:  # pragma: no cover - documentation invariant
     assert HLL_K == 0.7213 / (1.0 + 1.079 / 256) * 256 * 256 * 2.0**53
     assert math.isfinite(HLL_K)
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 1024
+
+
+def histogram_bins(
+    values: DataFrame,
+    value_col: str = "v",
+    bins: int = HIST_BINS,
+    vmax_df: DataFrame | None = None,
+) -> DataFrame:
+    """Mergeable quantile sketch: equi-width histogram over
+    ``[0, max(v)]``.  One agg for the range, one map-side-combinable
+    agg for the bins - constant state (``bins`` counters), merge = per-
+    bin sum, so partial histograms from any partitioning (or any
+    micro-batch split; see the streaming replay query) fold to the
+    identical grid.  Quantile answers carry the one-sided equi-width
+    guarantee 0 <= est - exact <= max(v)/bins.
+
+    All bin math is shared double IEEE ops (``v * bins / vmax``,
+    ``floor``), so the DuckDB oracle reproduces the grid exactly.
+    Requires v >= 0.
+    """
+    vmax = (
+        vmax_df
+        if vmax_df is not None
+        else values.agg(F.max(value_col).alias("__vmax"))
+    )
+    b = F.least(
+        F.floor(F.col(value_col) * F.lit(float(bins)) / F.col("__vmax"))
+        .cast("long"),
+        F.lit(bins - 1),
+    )
+    return (
+        values.crossJoin(F.broadcast(vmax))
+        .select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    vmax_df: DataFrame,
+    quantiles: tuple[tuple[str, int, int], ...] = (
+        ("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100),
+    ),
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """Quantile readout from a (possibly merged) histogram: the upper
+    edge of the first bin whose cumulative count reaches
+    ``ceil(q * n)``.  The cumulative window runs over at most ``bins``
+    rows - constant work after the aggregation, never a data-sized
+    global sort.  Targets are exact integer arithmetic
+    (``floor((n*num + den - 1)/den)`` of < 2^53 doubles)."""
+    from pyspark.sql.window import Window
+
+    qf = hist.sparkSession.createDataFrame(
+        list(quantiles), "qname string, num int, den int"
+    )
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy(F.col("bin").asc()))
+    ).crossJoin(hist.agg(F.sum("cnt").alias("__n")))
+    hit = cum.crossJoin(F.broadcast(qf)).filter(
+        F.col("cum")
+        >= F.floor(
+            (F.col("__n") * F.col("num") + F.col("den") - F.lit(1))
+            / F.col("den")
+        )
+    )
+    est_bin = hit.groupBy("qname").agg(F.min("bin").alias("qbin"))
+    return est_bin.crossJoin(F.broadcast(vmax_df)).select(
+        "qname",
+        (
+            (F.col("qbin") + F.lit(1))
+            * F.col("__vmax")
+            / F.lit(float(bins))
+        ).alias("est_raw"),
+    )

@@ -6137,6 +6137,120 @@ WHERE v.event_type = 'view' AND c.event_type = 'click'
 )
 
 
+def _exact_event_quantiles(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """(qname, exact_v) rank quantiles - validation side only (global
+    row_number sort; the sketch path is the shape that scales)."""
+    qf = spark.createDataFrame(
+        [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)],
+        "qname string, num int, den int",
+    )
+    w = Window.orderBy(F.col("v").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .crossJoin(ev.agg(F.count(F.lit(1)).alias("__n")))
+        .crossJoin(F.broadcast(qf))
+        .filter(
+            F.col("rnk")
+            == F.floor(
+                (F.col("__n") * F.col("num") + F.col("den") - F.lit(1))
+                / F.col("den")
+            )
+        )
+        .select("qname", F.col("v").alias("exact_v"))
+    )
+
+
+def _quantile_est_with_exact(
+    spark: SparkSession, est: DataFrame, ev: DataFrame
+) -> DataFrame:
+    r4 = lambda c: F.floor(c * 10000.0 + F.lit(0.5)) / 10000.0  # noqa: E731
+    return est.join(_exact_event_quantiles(spark, ev), "qname").select(
+        "qname",
+        r4(F.col("est_raw")).alias("est"),
+        "exact_v",
+        r4(F.col("est_raw") - F.col("exact_v")).alias("err"),
+    )
+
+
+def _event_value_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable equi-width histogram quantile sketch vs exact rank
+    quantiles.  The sketch path (2 aggs + a 1024-row cumulative window)
+    is the 100 TB shape; the exact rank side exists only to put the
+    one-sided error bound 0 <= est - exact <= vmax/1024 under the
+    oracle."""
+    from ..operators import sketch as SK
+
+    ev = _read(spark, sf, "events").select(
+        F.col("value").cast("double").alias("v"), "event_id"
+    )
+    vmax = ev.agg(F.max("v").alias("__vmax"))
+    hist = SK.histogram_bins(ev, "v", vmax_df=vmax)
+    est = SK.histogram_quantiles(hist, vmax)
+    return _quantile_est_with_exact(spark, est, ev)
+
+
+_QUANTILE_SKETCH_SQL = """
+WITH v AS (SELECT CAST(value AS DOUBLE) AS v, event_id FROM events),
+mx AS (SELECT MAX(v) AS vmax, COUNT(*) AS n FROM v),
+b AS (SELECT LEAST(CAST(floor(v * 1024.0 / (SELECT vmax FROM mx))
+                        AS BIGINT), 1023) AS bin FROM v),
+h AS (SELECT bin, COUNT(*) AS cnt FROM b GROUP BY bin),
+c AS (SELECT bin, CAST(SUM(cnt) OVER (ORDER BY bin ASC) AS BIGINT)
+        AS cum FROM h),
+q(qname, num, den) AS (VALUES ('p50', 1, 2), ('p90', 9, 10),
+                              ('p99', 99, 100)),
+tgt AS (SELECT qname, num, den,
+               CAST(floor(((SELECT n FROM mx) * num + den - 1)
+                          / den) AS BIGINT) AS target FROM q),
+qb AS (SELECT t.qname, MIN(c.bin) AS qbin
+       FROM c CROSS JOIN tgt t WHERE c.cum >= t.target
+       GROUP BY t.qname),
+est AS (SELECT qname,
+               (qbin + 1) * (SELECT vmax FROM mx) / 1024.0 AS est_raw
+        FROM qb),
+r AS (SELECT v, row_number() OVER (ORDER BY v ASC, event_id ASC)
+        AS rnk FROM v),
+ex AS (SELECT t.qname, r.v AS exact_v
+       FROM r JOIN tgt t ON r.rnk = t.target)
+SELECT e.qname,
+       floor(e.est_raw * 10000.0 + 0.5) / 10000.0 AS est,
+       x.exact_v,
+       floor((e.est_raw - x.exact_v) * 10000.0 + 0.5) / 10000.0 AS err
+FROM est e JOIN ex x ON e.qname = x.qname
+"""
+
+_register(
+    "event_value_quantile_sketch",
+    _event_value_quantile_sketch,
+    _QUANTILE_SKETCH_SQL,
+)
+
+
+def _streaming_quantile_sketch_replay(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """The SAME quantile answers produced through a real 4-micro-batch
+    stream: per-batch partial histograms appended in foreachBatch,
+    merged at read with one per-bin sum.  Per-bin sum is associative
+    and commutative, so the merged grid is bit-identical to the batch
+    sketch and the batch oracle applies verbatim."""
+    from ..streaming.incremental import replay_quantile_sketch
+
+    events = _read(spark, sf, "events")
+    est = replay_quantile_sketch(spark, events)
+    ev = events.select(
+        F.col("value").cast("double").alias("v"), "event_id"
+    )
+    return _quantile_est_with_exact(spark, est, ev)
+
+
+_register(
+    "streaming_quantile_sketch_replay",
+    _streaming_quantile_sketch_replay,
+    _QUANTILE_SKETCH_SQL,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------

@@ -835,3 +835,82 @@ def replay_cm_heavy_hitters(
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def replay_quantile_sketch(
+    spark: SparkSession, events: DataFrame, n_slices: int = 4
+) -> DataFrame:
+    """(qname, est_raw) quantile estimates from the equi-width
+    histogram sketch built THROUGH a real micro-batch stream: each
+    batch bins its own rows against a FROZEN range (the range must be
+    fixed before partials are produced - per-batch ranges would not be
+    mergeable) and APPENDS its partial per-bin counts; the readout
+    merges with one per-bin sum.  Per-bin sum is associative and
+    commutative, so the merged grid - and therefore every quantile
+    answer - is bit-identical to the one-shot batch sketch no matter
+    how the stream was sliced, and the batch query's exact-SQL oracle
+    applies verbatim."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from ..operators import sketch as SK
+
+    ev = events.select(
+        F.col("value").cast("double").alias("v"), "event_id"
+    )
+    vm = float(ev.agg(F.max("v")).collect()[0][0])
+
+    work = tempfile.mkdtemp(prefix="sgraft_qsketch_")
+    try:
+        os.makedirs(os.path.join(work, "in"))
+        order = Window.orderBy(F.col("event_id").asc())
+        sliced = ev.withColumn("__slice", F.ntile(n_slices).over(order))
+        for k in range(1, n_slices + 1):
+            _stage_slice(
+                sliced.filter(F.col("__slice") == k).drop("__slice"),
+                work, k,
+            )
+        parts_dir = os.path.join(work, "sketch")
+
+        def _fold_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            bcol = F.least(
+                F.floor(
+                    F.col("v") * F.lit(float(SK.HIST_BINS)) / F.lit(vm)
+                ).cast("long"),
+                F.lit(SK.HIST_BINS - 1),
+            )
+            (
+                batch_df.select(bcol.alias("bin"))
+                .groupBy("bin")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .write.mode("append")
+                .parquet(parts_dir)
+            )
+
+        stream = (
+            spark.readStream.schema(sliced.drop("__slice").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(work, "in"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(_fold_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        hist = (
+            spark.read.parquet(parts_dir)
+            .groupBy("bin")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        vmax_df = spark.createDataFrame([(vm,)], "__vmax double")
+        return SK.histogram_quantiles(hist, vmax_df).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -57,3 +57,35 @@ def test_cm_estimate_never_undercounts(spark):
     # plant deterministically, but total inflation is bounded by the
     # grid mass
     assert got["a"] <= 14 and got["never"] <= 14
+
+
+def test_histogram_sketch_mergeable_and_bounded(spark):
+    """The histogram grid from the full data equals the per-bin sum of
+    the grids of any split (mergeability = what makes it a sketch), and
+    every quantile estimate obeys 0 <= est - exact <= vmax/bins."""
+    vals = [(i, float(((i * 37) % 1000) + 1) / 7.0) for i in range(2000)]
+    df = spark.createDataFrame(vals, "event_id bigint, v double")
+    vmax = df.agg(F.max("v").alias("__vmax"))
+    full = {
+        r["bin"]: r["cnt"]
+        for r in SK.histogram_bins(df, "v", vmax_df=vmax).collect()
+    }
+    merged: dict[int, int] = {}
+    for half in (df.filter("event_id % 2 = 0"), df.filter("event_id % 2 = 1")):
+        # each partial is binned against the SAME frozen range
+        for r in SK.histogram_bins(half, "v", vmax_df=vmax).collect():
+            merged[r["bin"]] = merged.get(r["bin"], 0) + r["cnt"]
+    assert merged == full
+
+    hist = SK.histogram_bins(df, "v", vmax_df=vmax)
+    est = {
+        r["qname"]: r["est_raw"]
+        for r in SK.histogram_quantiles(hist, vmax).collect()
+    }
+    svals = sorted(v for _, v in vals)
+    n, vm = len(svals), max(svals)
+    import math
+
+    for qname, num, den in (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)):
+        exact = svals[math.ceil(n * num / den) - 1]
+        assert -1e-9 <= est[qname] - exact <= vm / SK.HIST_BINS + 1e-9
