@@ -431,3 +431,83 @@ def exact_quota_sample(
     return ranked.filter(
         F.col("rnk") * F.lit(frac_den) <= F.col("n_str") * F.lit(frac_num)
     ).select("strata", "id", "rnk")
+
+
+def dup_span_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DECONTAM_K,
+) -> DataFrame:
+    """Exact-substring dedup accounting (the deduplicate-text-datasets
+    motif, Lee et al. 2022, at token-span granularity): for every doc,
+    how many tokens sit inside a maximal span covered by CROSS-document
+    duplicated ``k``-grams.
+
+    Shape (all window algebra, zero UDFs, one shuffle per step):
+    tokenize with positions (explode + lead window - the fast k-gram
+    shape, see dup_ngram_ratio_agg) -> grams duplicated across >= 2
+    docs (groupBy gram) -> covered intervals [pos, pos+k-1] -> classic
+    island merge per doc: a row opens a new island iff its start
+    exceeds the running max end of all earlier intervals (running max
+    via ROWS UNBOUNDED PRECEDING..1 PRECEDING), island id = running sum
+    of the open flags.  Returns per-doc
+    ``(doc, n_islands, removed_tokens)`` - only affected docs.
+
+    The gram-side join is a plain shuffle join: at 100 TB the
+    duplicated-gram set is NOT broadcastable and partitions by gram
+    hash; AQE may still broadcast it at fixture scale."""
+    from pyspark.sql.window import Window
+
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+            ).alias("idx", "term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    wdoc = Window.partitionBy("doc").orderBy(F.col("idx").asc())
+    toks = toks.select(
+        "doc", "term",
+        (F.row_number().over(wdoc) - F.lit(1)).alias("pos"),
+    )
+    wpos = Window.partitionBy("doc").orderBy(F.col("pos").asc())
+    leads = [F.lead("term", i).over(wpos) for i in range(1, k)]
+    sp = toks.select(
+        "doc", "pos",
+        F.when(
+            leads[-1].isNotNull(),
+            F.concat_ws(" ", F.col("term"), *leads),
+        ).alias("gram"),
+    ).filter(F.col("gram").isNotNull())
+    dup = (
+        sp.groupBy("gram")
+        .agg(F.count_distinct("doc").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    iv = sp.join(dup, "gram").select(
+        "doc", F.col("pos").alias("s"), (F.col("pos") + F.lit(k - 1)).alias("e")
+    )
+    ws = Window.partitionBy("doc").orderBy(F.col("s").asc())
+    prev_max = F.max("e").over(
+        ws.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fl = iv.withColumn(
+        "nw",
+        F.when(
+            prev_max.isNull() | (F.col("s") > prev_max), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    isl = fl.withColumn("island", F.sum("nw").over(ws))
+    merged = isl.groupBy("doc", "island").agg(
+        F.min("s").alias("is_"), F.max("e").alias("ie")
+    )
+    return merged.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("ie") - F.col("is_") + F.lit(1)).alias(
+            "removed_tokens"
+        ),
+    )

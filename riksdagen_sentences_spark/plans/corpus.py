@@ -6251,6 +6251,95 @@ _register(
 )
 
 
+def _dup_span_removal_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level exact-substring dedup accounting: what fraction of
+    all tokens sits inside maximal spans covered by cross-document
+    duplicated 8-grams (the 'how much would Lee-et-al span dedup
+    remove' planning number)."""
+    from ..operators.curation import dup_span_coverage
+
+    docs = _read(spark, sf, "documents")
+    per_doc = dup_span_coverage(docs)
+    toks = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+            ).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .agg(F.count(F.lit(1)).alias("total_tokens"))
+    )
+    agg = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs_affected"),
+        F.sum("n_islands").alias("n_islands"),
+        F.sum("removed_tokens").alias("removed_tokens"),
+    )
+    r4 = lambda c: F.floor(c * 10000.0 + F.lit(0.5)) / 10000.0  # noqa: E731
+    return agg.crossJoin(toks).select(
+        "n_docs_affected", "n_islands", "removed_tokens", "total_tokens",
+        r4(
+            F.col("removed_tokens").cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("removed_ratio"),
+    )
+
+
+_SPAN_DEDUP_K = 8
+_SD_LEADS = ", ".join(
+    f"lead(term, {i}) OVER w AS l{i}" for i in range(1, _SPAN_DEDUP_K)
+)
+_SD_CONCAT = " || ' ' || ".join(
+    ["term"] + [f"l{i}" for i in range(1, _SPAN_DEDUP_K)]
+)
+
+_register(
+    "dup_span_removal_stats",
+    _dup_span_removal_stats,
+    f"""
+WITH {_TOK_CTES},
+t3 AS (SELECT doc, term,
+              row_number() OVER (PARTITION BY doc ORDER BY idx ASC) - 1
+                AS pos
+       FROM t2),
+ld AS (SELECT doc, pos, term, {_SD_LEADS}
+       FROM t3 WINDOW w AS (PARTITION BY doc ORDER BY pos ASC)),
+sp AS (SELECT doc, pos, {_SD_CONCAT} AS gram
+       FROM ld WHERE l{_SPAN_DEDUP_K - 1} IS NOT NULL),
+dup AS (SELECT gram FROM sp GROUP BY gram
+        HAVING COUNT(DISTINCT doc) >= 2),
+iv AS (SELECT s.doc, s.pos AS s, s.pos + {_SPAN_DEDUP_K - 1} AS e
+       FROM sp s JOIN dup d USING (gram)),
+fl AS (SELECT doc, s, e,
+              CASE WHEN max(e) OVER wprev IS NULL
+                     OR s > max(e) OVER wprev THEN 1 ELSE 0 END AS nw
+       FROM iv
+       WINDOW wprev AS (PARTITION BY doc ORDER BY s ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING)),
+isl AS (SELECT doc, s, e,
+               CAST(SUM(nw) OVER (PARTITION BY doc ORDER BY s ASC)
+                    AS BIGINT) AS island
+        FROM fl),
+m AS (SELECT doc, island, MIN(s) AS is_, MAX(e) AS ie
+      FROM isl GROUP BY doc, island),
+perdoc AS (SELECT doc, COUNT(*) AS n_islands,
+                  CAST(SUM(ie - is_ + 1) AS BIGINT) AS removed
+           FROM m GROUP BY doc),
+tot AS (SELECT COUNT(*) AS total_tokens FROM t3)
+SELECT (SELECT COUNT(*) FROM perdoc) AS n_docs_affected,
+       CAST((SELECT COALESCE(SUM(n_islands), 0) FROM perdoc) AS BIGINT)
+         AS n_islands,
+       CAST((SELECT COALESCE(SUM(removed), 0) FROM perdoc) AS BIGINT)
+         AS removed_tokens,
+       (SELECT total_tokens FROM tot) AS total_tokens,
+       floor(CAST((SELECT COALESCE(SUM(removed), 0) FROM perdoc)
+                  AS DOUBLE)
+             / (SELECT total_tokens FROM tot) * 10000.0 + 0.5)
+         / 10000.0 AS removed_ratio
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------

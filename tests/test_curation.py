@@ -325,3 +325,30 @@ def test_dup_ngram_ratio_agg_matches_column_form(spark):
     }
     for d, v in col_form.items():
         assert agg.get(d, 0.0) == v, d
+
+
+def test_dup_span_coverage_island_merge(spark):
+    """Overlapping duplicated 8-grams merge into ONE maximal island
+    (a 10-token shared passage = 3 overlapping grams = 10 removed
+    tokens, not 24); disjoint passages stay separate islands."""
+    from riksdagen_sentences_spark.operators.curation import (
+        dup_span_coverage,
+    )
+
+    s = " ".join(f"s{i}" for i in range(10))      # shared 10-token run
+    a = " ".join(f"a{i}" for i in range(8))       # shared 8-token run
+    b = " ".join(f"b{i}" for i in range(8))       # shared 8-token run
+    docs = spark.createDataFrame(
+        [
+            (1, f"{s} u1 u2"),
+            (2, f"v1 v2 {s}"),
+            (3, f"{a} x1 {b}"),
+            (4, f"{b} y1 y2 {a}"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc"]: (r["n_islands"], r["removed_tokens"])
+        for r in dup_span_coverage(docs).collect()
+    }
+    assert got == {1: (1, 10), 2: (1, 10), 3: (2, 16), 4: (2, 16)}
