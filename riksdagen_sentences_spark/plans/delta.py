@@ -261,17 +261,30 @@ def update_graph(
 
     if n_fresh_contents > 0:
         sha = F.sha2(F.col("content"), 256)
+        # semi-join BEFORE the dedup: in the steady state most content
+        # is already in the store, and filtering first keeps the reused
+        # files' full content bytes out of the dropDuplicates shuffle
+        # (dedup-then-filter and filter-then-dedup commute on the same
+        # key)
         reps = (
             new_files.select(sha.alias("content_sha"), "content")
-            .dropDuplicates(["content_sha"])
             .join(fresh_shas, "content_sha", "left_semi")
+            .dropDuplicates(["content_sha"])
         )
-        skel = P.content_skeletons(spark, reps, gazetteer=gazetteer)
+        tracked: list[DataFrame] = []
+        skel = P.content_skeletons(
+            spark, reps, gazetteer=gazetteer, tracked=tracked
+        )
         # skeletons first, ledgers next, marker strictly last: a crash
         # anywhere before the marker leaves rows no reader can see, and
         # the retry overwrites exactly those directories
         for name in SKEL_TABLES:
             _write_batch(skel[name], store_dir, name, batch)
+        # the skeleton caches exist only to share work across the four
+        # writes above; a long-running updater applying many batches
+        # must not accumulate them
+        for df in tracked:
+            df.unpersist()
     _write_batch(fresh_shas, store_dir, "contents_ledger", batch)
     _write_batch(fresh_files, store_dir, "files_ledger", batch)
     _write_commit(

@@ -657,6 +657,7 @@ def content_skeletons(
     use_udf_langid: bool = False,
     cache: bool = True,
     gazetteer: DataFrame | None = None,
+    tracked: list[DataFrame] | None = None,
 ) -> dict[str, DataFrame]:
     """Per-DISTINCT-CONTENT intermediates of the graph build, keyed by
     content_sha.  ``reps`` is (content_sha, content), one row per
@@ -687,6 +688,11 @@ def content_skeletons(
     toks = token_base(base)
     if cache:
         toks = toks.persist()
+    if cache and tracked is not None:
+        # hand the persisted intermediates back so a caller that fully
+        # consumes the skeletons (e.g. delta.update_graph's writes) can
+        # unpersist them instead of leaking executor memory per batch
+        tracked.extend((base, sents, toks))
 
     sents_skel = sents.select(
         F.col("document_id").alias("content_sha"), "text", "cleaned", "lang"
