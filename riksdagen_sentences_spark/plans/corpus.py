@@ -6340,6 +6340,141 @@ SELECT (SELECT COUNT(*) FROM perdoc) AS n_docs_affected,
 )
 
 
+def _event_value_trailing_10min(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-based RANGE window frame (vs the ROWS frame of
+    event_value_moving_avg): per user, the count and exact DECIMAL sum
+    of event values in the trailing 10 minutes INCLUDING the current
+    event.  Ordering key is zone-free integer micros, so the frame
+    bounds are exact on both engines."""
+    from ..operators.temporal import ntz_micros
+
+    ev = _read(spark, sf, "events").select(
+        "event_id", "user_id",
+        ntz_micros(F.col("ts")).alias("us"),
+        F.col("value").cast(_DEC).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us").asc())
+        .rangeBetween(-600_000_000, 0)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("trailing_n"),
+        F.sum("v").over(w).cast("double").alias("trailing_sum"),
+    )
+
+
+_register(
+    "event_value_trailing_10min",
+    _event_value_trailing_10min,
+    """
+WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+                   CAST(value AS DECIMAL(18,2)) AS v FROM events)
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS trailing_n,
+       CAST(SUM(v) OVER w AS DOUBLE) AS trailing_sum
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY us ASC
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+""",
+)
+
+
+def _orders_cube_status_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (status, priority) with grouping_id - all four
+    aggregation levels in one shuffle (Spark expands grouping sets in a
+    single Expand + hash aggregate, not four scans)."""
+    return (
+        _read(spark, sf, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(_DEC))
+            .cast("double")
+            .alias("total"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+_register(
+    "orders_cube_status_priority",
+    _orders_cube_status_priority,
+    """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+
+
+def _dq_report_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality expectations over orders: the publish-gate contract
+    check.  Four row-local rules fold into ONE scan; uniqueness is one
+    aggregate; referential integrity to customer is one anti-join - a
+    handful of linear passes, never a per-row exception."""
+    from ..operators import expectations as DQ
+
+    orders = _read(spark, sf, "orders")
+    customer = _read(spark, sf, "customer")
+    parts = [
+        DQ.check_rules(
+            orders,
+            [
+                DQ.expect_not_null("o_custkey"),
+                DQ.expect_positive("o_totalprice"),
+                DQ.expect_in_set("o_orderstatus", ["O", "F", "P"]),
+                DQ.expect_between("o_totalprice", 0.0, 1000000.0),
+            ],
+        ),
+        DQ.check_unique(orders, ["o_orderkey"]),
+        DQ.check_references(orders, "o_custkey", customer, "c_custkey"),
+    ]
+    return DQ.quality_report(parts)
+
+
+_register(
+    "dq_report_orders",
+    _dq_report_orders,
+    """
+WITH base AS (
+  SELECT 'not_null(o_custkey)' AS rule, COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'positive(o_totalprice)', COUNT(*),
+         CAST(SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'in_set(o_orderstatus)', COUNT(*),
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                         OR o_orderstatus IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'between(o_totalprice,0.0,1000000.0)', COUNT(*),
+         CAST(SUM(CASE WHEN NOT (o_totalprice BETWEEN 0.0 AND 1000000.0)
+                         OR o_totalprice IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'unique(o_orderkey)', COUNT(*),
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'references(o_custkey)', (SELECT COUNT(*) FROM orders),
+         CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT rule, n_rows, n_violations, n_violations = 0 AS passed FROM base
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
