@@ -6475,6 +6475,78 @@ SELECT rule, n_rows, n_violations, n_violations = 0 AS passed FROM base
 )
 
 
+_HITS_ITER = 4
+
+
+def _entity_hits_authorities_top10(spark: SparkSession, sf: str) -> DataFrame:
+    """HITS authority scores over the sentence->entity mention graph
+    (hubs = sentences, authorities = entities), 4 synchronous rounds
+    with max-normalization; top-10 by 4-dp authority."""
+    from ..operators.graph import hits
+
+    edges = P.mention_edges(_sentences(spark, sf)).select("subj", "obj")
+    out = hits(edges, n_iter=_HITS_ITER)
+    return (
+        out.select(
+            "node",
+            (
+                F.floor(F.col("authority") * 10000.0 + F.lit(0.5)) / 10000.0
+            ).alias("authority"),
+        )
+        .orderBy(F.col("authority").desc(), F.col("node").asc())
+        .limit(10)
+    )
+
+
+def _hits_sql(n_iter: int) -> str:
+    # every level is referenced twice (max + normalize) - MATERIALIZED,
+    # or DuckDB re-inlines the whole sentence pipeline 2^k times
+    parts = [
+        f"WITH {sentence_ctes()}, ",
+        "edges AS MATERIALIZED (SELECT subj, obj FROM ("
+        "SELECT DISTINCT s.sentence_id AS subj, "
+        f"{_ENTITY_ID_SQL} AS obj "
+        f"FROM sentences s, {gazetteer_values()} "
+        "WHERE contains(' ' || lower(s.cleaned) || ' ', "
+        "' ' || g.label || ' '))), ",
+        "h0 AS MATERIALIZED (SELECT DISTINCT subj AS node, 1.0 AS h "
+        "FROM edges), ",
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT e.obj AS node, SUM(p.h) AS a "
+            f"FROM h{k - 1} p JOIN edges e ON p.node = e.subj "
+            "GROUP BY e.obj), "
+        )
+        parts.append(
+            f"a{k}n AS MATERIALIZED (SELECT node, "
+            f"a / (SELECT MAX(a) FROM a{k}) AS a FROM a{k}), "
+        )
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT e.subj AS node, SUM(p.a) AS h "
+            f"FROM a{k}n p JOIN edges e ON p.node = e.obj "
+            "GROUP BY e.subj), "
+        )
+        parts.append(
+            f"h{k}n AS MATERIALIZED (SELECT node, "
+            f"h / (SELECT MAX(h) FROM h{k}) AS h FROM h{k})"
+            + (", " if k < n_iter else " ")
+        )
+    parts.append(
+        "SELECT node, floor(a * 10000.0 + 0.5) / 10000.0 AS authority "
+        f"FROM a{n_iter}n "
+        "ORDER BY authority DESC, node ASC LIMIT 10"
+    )
+    return "".join(parts)
+
+
+_register(
+    "entity_hits_authorities_top10",
+    _entity_hits_authorities_top10,
+    _hits_sql(_HITS_ITER),
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------

@@ -423,3 +423,22 @@ def test_label_propagation_barbell_two_communities(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
     cc = connected_components(edges)
     assert cc.select("component").distinct().count() == 1
+
+
+def test_hits_authority_ordering(spark):
+    """Hand-checkable bipartite graph: e1 referenced by all three hubs
+    stays the max authority (1.0 after max-normalization) every round;
+    e2 referenced only by the strongest hub lands strictly between the
+    round-2 value 0.4 and 0.5 after four rounds."""
+    from riksdagen_sentences_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [("s1", "e1"), ("s2", "e1"), ("s3", "e1"), ("s1", "e2")],
+        "subj string, obj string",
+    )
+    got = {r["node"]: r["authority"] for r in hits(edges).collect()}
+    assert got["e1"] == 1.0
+    assert 0.0 < got["e2"] < 1.0
+    # analytic round-by-round (a(e2) after rounds 1..4: 1/3, 2/5, 7/17,
+    # 12/29); pin the round-4 value to guard regressions
+    assert abs(got["e2"] - 12.0 / 29.0) < 1e-9
