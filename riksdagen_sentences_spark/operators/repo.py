@@ -119,3 +119,32 @@ def commit_churn(files: DataFrame, order_col: str = "commit_seq") -> DataFrame:
         .groupBy("repo", order_col)
         .agg(F.count("*").alias("n_changed"))
     )
+
+
+def scd2_intervals(
+    files: DataFrame, order_col: str = "commit_seq"
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) intervals per (repo, path):
+    one row per content VERSION with ``valid_from``/``valid_to`` commit
+    bounds (``valid_to`` NULL = current).  The warehouse-standard
+    history compaction: downstream as-of reads become a range predicate
+    instead of a window over every commit.
+
+    Two lag/lead windows over ONE hash exchange keyed on the file
+    identity (change detection, then interval close-off over the
+    surviving change rows - same partitioning, no second shuffle).
+    """
+    w = Window.partitionBy("repo", "path").orderBy(F.col(order_col).asc())
+    changes = (
+        files.withColumn("__prev", F.lag("content").over(w))
+        .filter(
+            F.col("__prev").isNull()
+            | (F.col("__prev") != F.col("content"))
+        )
+        .drop("__prev")
+    )
+    return changes.select(
+        "repo", "path", "content",
+        F.col(order_col).alias("valid_from"),
+        (F.lead(order_col).over(w) - F.lit(1)).alias("valid_to"),
+    )

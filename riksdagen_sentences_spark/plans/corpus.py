@@ -6547,6 +6547,80 @@ _register(
 )
 
 
+def _repo_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 history compaction over the commit-history fixture: one row
+    per content version with valid_from/valid_to commit bounds
+    (valid_to NULL = current HEAD version)."""
+    from ..operators.repo import scd2_intervals
+    from ..sources.synth import files_history
+
+    return scd2_intervals(files_history(spark))
+
+
+_register(
+    "repo_scd2_intervals",
+    _repo_scd2_intervals,
+    f"""
+WITH fh AS ({_files_history_sql()}),
+ch AS (SELECT repo, path, content, commit_seq,
+              lag(content) OVER (PARTITION BY repo, path
+                                 ORDER BY commit_seq ASC) AS prev
+       FROM fh)
+SELECT repo, path, content,
+       commit_seq AS valid_from,
+       lead(commit_seq) OVER (PARTITION BY repo, path
+                              ORDER BY commit_seq ASC) - 1 AS valid_to
+FROM ch WHERE prev IS NULL OR prev <> content
+""",
+)
+
+
+def _boolean_retrieval_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Conjunctive boolean retrieval over the inverted-index shape:
+    docs containing 'batch' AND 'scan' AND NOT 'dup'.  The AND is a
+    group-having count over the postings restricted to the query terms
+    (intersection cost scales with the QUERY terms' posting lists, not
+    the corpus); the NOT is one anti-join against the negated term's
+    postings."""
+    postings = (
+        _read(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .dropDuplicates(["doc_id", "term"])
+    )
+    conj = (
+        postings.filter(F.col("term").isin("batch", "scan"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("nt"))
+        .filter(F.col("nt") == 2)
+        .select("doc_id")
+    )
+    neg = postings.filter(F.col("term") == "dup").select("doc_id")
+    return conj.join(neg, "doc_id", "left_anti")
+
+
+_register(
+    "boolean_retrieval_docs",
+    _boolean_retrieval_docs,
+    """
+WITH p AS (SELECT DISTINCT doc_id, term FROM (
+             SELECT doc_id,
+                    unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                      AS term
+             FROM documents) WHERE term <> ''),
+conj AS (SELECT doc_id FROM p WHERE term IN ('batch', 'scan')
+         GROUP BY doc_id HAVING COUNT(DISTINCT term) = 2)
+SELECT doc_id FROM conj
+WHERE doc_id NOT IN (SELECT doc_id FROM p WHERE term = 'dup')
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------

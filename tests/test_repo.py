@@ -66,3 +66,26 @@ def test_snapshot_asof_travels_to_earlier_content(spark):
     assert {r.commit_seq for r in rows} == {3}
     # content version at seq 3 is v1, not HEAD's v2
     assert all(r.content.endswith("# v1") for r in rows)
+
+
+def test_scd2_intervals_shape(spark):
+    """Versions tile each file's history: first starts at the first
+    commit, exactly one open (valid_to NULL) version per (repo, path),
+    and consecutive intervals abut (next valid_from = valid_to + 1)."""
+    from riksdagen_sentences_spark.operators.repo import scd2_intervals
+    from riksdagen_sentences_spark.sources.synth import files_history
+
+    hist = files_history(spark, n_repos=2, n_paths=3, n_commits=8)
+    rows = scd2_intervals(hist).collect()
+    byfile = {}
+    for r in rows:
+        byfile.setdefault((r["repo"], r["path"]), []).append(
+            (r["valid_from"], r["valid_to"])
+        )
+    assert len(byfile) == 6
+    for spans in byfile.values():
+        spans.sort()
+        assert spans[0][0] == 0
+        assert [s for s in spans if s[1] is None] == [spans[-1]]
+        for (_, t0), (f1, _) in zip(spans, spans[1:]):
+            assert f1 == t0 + 1
