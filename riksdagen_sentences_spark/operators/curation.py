@@ -511,3 +511,56 @@ def dup_span_coverage(
             "removed_tokens"
         ),
     )
+
+
+def temperature_quotas(
+    docs: DataFrame,
+    budget: int,
+    alpha: float = 0.5,
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-based mixture quotas (the multilingual/multi-source
+    sampling rule p_i ~ c_i^alpha): per source, the integer number of
+    documents to draw for a ``budget``-doc mixture, rounded by largest
+    remainder so the quotas sum to the budget EXACTLY.
+
+    alpha < 1 flattens the natural distribution (upweights rare
+    sources), alpha = 1 is proportional.  One hash aggregate over the
+    corpus; everything after is per-source-cardinality work (two scalar
+    cross joins + one window over the source list).  pow/sqrt are
+    IEEE-correctly-rounded on both engines, so the double arithmetic -
+    and therefore the integer quotas - are oracle-exact.
+    """
+    from pyspark.sql.window import Window
+
+    counts = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = counts.withColumn(
+        "__w", F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+    )
+    z = w.agg(F.sum("__w").alias("__z"))
+    shares = w.crossJoin(F.broadcast(z)).withColumn(
+        "__t", F.lit(float(budget)) * F.col("__w") / F.col("__z")
+    )
+    based = shares.select(
+        "source", "n_docs",
+        F.floor(F.col("__t")).cast("bigint").alias("__base"),
+        (F.col("__t") - F.floor(F.col("__t"))).alias("__rem"),
+    )
+    used = based.agg(F.sum("__base").alias("__used"))
+    wr = Window.orderBy(F.col("__rem").desc(), F.col("source").asc())
+    return (
+        based.crossJoin(F.broadcast(used))
+        .withColumn("__rnk", F.row_number().over(wr))
+        .select(
+            "source", "n_docs",
+            (
+                F.col("__base")
+                + F.when(
+                    F.col("__rnk") <= F.lit(budget) - F.col("__used"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).cast("bigint").alias("quota"),
+        )
+    )

@@ -6621,6 +6621,40 @@ WHERE doc_id NOT IN (SELECT doc_id FROM p WHERE term = 'dup')
 )
 
 
+def _temperature_mixture_quotas(spark: SparkSession, sf: str) -> DataFrame:
+    """alpha=0.5 temperature mixture over sources: integer per-source
+    quotas for a 100-doc budget, largest-remainder rounded so they sum
+    to the budget exactly."""
+    from ..operators.curation import temperature_quotas
+
+    return temperature_quotas(_read(spark, sf, "documents"), budget=100)
+
+
+_register(
+    "temperature_mixture_quotas",
+    _temperature_mixture_quotas,
+    """
+WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents
+           GROUP BY source),
+w AS (SELECT source, n_docs, pow(CAST(n_docs AS DOUBLE), 0.5) AS ww
+      FROM c),
+t AS (SELECT source, n_docs,
+             100.0 * ww / (SELECT SUM(ww) FROM w) AS tt FROM w),
+b AS (SELECT source, n_docs,
+             CAST(floor(tt) AS BIGINT) AS base, tt - floor(tt) AS rem
+      FROM t),
+r AS (SELECT source, n_docs, base, rem,
+             row_number() OVER (ORDER BY rem DESC, source ASC) AS rnk
+      FROM b)
+SELECT source, n_docs,
+       CAST(base + CASE WHEN rnk <= 100 - (SELECT CAST(SUM(base) AS
+                                                       BIGINT) FROM b)
+                        THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM r
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------

@@ -352,3 +352,22 @@ def test_dup_span_coverage_island_merge(spark):
         for r in dup_span_coverage(docs).collect()
     }
     assert got == {1: (1, 10), 2: (1, 10), 3: (2, 16), 4: (2, 16)}
+
+
+def test_temperature_quotas_sum_to_budget_and_flatten(spark):
+    """Quotas sum EXACTLY to the budget (largest-remainder rounding),
+    and alpha=0.5 upweights the rare source vs proportional share."""
+    from riksdagen_sentences_spark.operators.curation import (
+        temperature_quotas,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id bigint, source string",
+    )
+    got = {r["source"]: r["quota"]
+           for r in temperature_quotas(docs, budget=50).collect()}
+    assert sum(got.values()) == 50
+    # proportional would give small 5/50; sqrt-temperature gives
+    # 50*sqrt(100)/(sqrt(900)+sqrt(100)) = 12.5 -> 12 or 13
+    assert got["small"] in (12, 13)
