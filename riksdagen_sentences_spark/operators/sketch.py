@@ -330,3 +330,64 @@ def histogram_quantiles(
             / F.lit(float(bins))
         ).alias("est_raw"),
     )
+
+
+def histogram_quantiles_grouped(
+    values: DataFrame,
+    group_col: str,
+    value_col: str = "v",
+    quantiles: tuple[tuple[str, int, int], ...] = (
+        ("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100),
+    ),
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """Per-group quantile estimates from per-group equi-width grids
+    (each group gets its own frozen [0, max] range - groups are
+    independent sketches, so this is the GROUP BY form of
+    :func:`histogram_bins` + :func:`histogram_quantiles`).
+
+    Two grouped aggregates (range, bins) + one cumulative window whose
+    partitions are <= ``bins`` rows each; the group-cardinality range
+    frame broadcasts back onto the values - never a per-group global
+    sort of the data."""
+    from pyspark.sql.window import Window
+
+    gmax = values.groupBy(group_col).agg(
+        F.max(value_col).alias("__vmax")
+    )
+    b = F.least(
+        F.floor(F.col(value_col) * F.lit(float(bins)) / F.col("__vmax"))
+        .cast("long"),
+        F.lit(bins - 1),
+    )
+    hist = (
+        values.join(F.broadcast(gmax), group_col)
+        .select(group_col, b.alias("bin"))
+        .groupBy(group_col, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wg = Window.partitionBy(group_col).orderBy(F.col("bin").asc())
+    cum = hist.withColumn("cum", F.sum("cnt").over(wg)).join(
+        hist.groupBy(group_col).agg(F.sum("cnt").alias("__n")), group_col
+    )
+    qf = values.sparkSession.createDataFrame(
+        list(quantiles), "qname string, num int, den int"
+    )
+    hit = cum.crossJoin(F.broadcast(qf)).filter(
+        F.col("cum")
+        >= F.floor(
+            (F.col("__n") * F.col("num") + F.col("den") - F.lit(1))
+            / F.col("den")
+        )
+    )
+    est_bin = hit.groupBy(group_col, "qname").agg(
+        F.min("bin").alias("qbin")
+    )
+    return est_bin.join(F.broadcast(gmax), group_col).select(
+        group_col, "qname",
+        (
+            (F.col("qbin") + F.lit(1))
+            * F.col("__vmax")
+            / F.lit(float(bins))
+        ).alias("est_raw"),
+    )
