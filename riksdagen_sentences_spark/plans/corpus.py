@@ -6704,6 +6704,47 @@ FROM qb JOIN mx m ON qb.g = m.g
 )
 
 
+def _phrase_retrieval_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Positional-index phrase query: docs containing the exact phrase
+    'table hash' with the match count.  Each phrase term's postings are
+    filtered BEFORE the position join (cost scales with the two posting
+    lists, not the corpus); adjacency = equi-join on (doc, pos+1)."""
+    postings = (
+        _read(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+            ).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    p1 = postings.filter(F.col("term") == "table").select(
+        "doc_id", F.col("pos").alias("p")
+    )
+    p2 = postings.filter(F.col("term") == "hash").select(
+        "doc_id", (F.col("pos") - F.lit(1)).alias("p")
+    )
+    return (
+        p1.join(p2, ["doc_id", "p"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+
+
+_register(
+    "phrase_retrieval_docs",
+    _phrase_retrieval_docs,
+    f"""
+WITH {_TOK_CTES}
+SELECT a.doc AS doc_id, COUNT(*) AS n_matches
+FROM t2 a JOIN t2 b ON a.doc = b.doc AND b.idx = a.idx + 1
+WHERE a.term = 'table' AND b.term = 'hash'
+GROUP BY a.doc
+""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
