@@ -6746,6 +6746,310 @@ GROUP BY a.doc
 
 
 # ---------------------------------------------------------------------------
+# Entity resolution (operators/resolve.py): the reference mints one
+# entity per EXACT (label, ner_label) (models/entity.py:36-48), so
+# surface variants fragment the KG.  Resolution = symmetric-delete
+# blocking -> levenshtein verify -> connected components -> canonical
+# (min) relabeling.  The lorem gazetteer has no natural distance-1
+# label pairs, so - exactly like fuzzy_token_matches - each query
+# PLANTS a deterministic variant set derived from the labels actually
+# mentioned in the corpus (one trailing insertion ``name || 's'`` and
+# one head deletion ``substr(name, 2)`` per label) in BOTH engines;
+# the oracle verifies with all-pairs levenshtein + a recursive-CTE
+# closure, pinning blocking completeness AND the component algebra.
+# ---------------------------------------------------------------------------
+
+
+def _resolution_names(spark: SparkSession, sf: str) -> DataFrame:
+    labels = P.entities(_sentences(spark, sf)).select(
+        F.col("label").alias("name")
+    )
+    planted = labels.select(
+        F.concat(F.col("name"), F.lit("s")).alias("name")
+    ).unionByName(
+        labels.filter(F.length("name") >= 2).select(
+            F.expr("substring(name, 2)").alias("name")
+        )
+    )
+    return labels.unionByName(planted).dropDuplicates(["name"])
+
+
+_RESOLVE_CTES = f"""
+labels AS (SELECT DISTINCT g.label AS name FROM sentences s,
+           {gazetteer_values()}
+           WHERE contains(' ' || lower(s.cleaned) || ' ',
+                          ' ' || g.label || ' ')),
+nm AS (SELECT DISTINCT name FROM (
+        SELECT name FROM labels
+        UNION ALL SELECT name || 's' FROM labels
+        UNION ALL SELECT substr(name, 2) FROM labels
+        WHERE len(name) >= 2)),
+sim_edges AS (SELECT x.name AS a, y.name AS b FROM nm x JOIN nm y
+          ON x.name < y.name AND levenshtein(x.name, y.name) <= 1),
+und AS (SELECT a, b FROM sim_edges UNION SELECT b, a FROM sim_edges),
+reach(node, r) AS (SELECT DISTINCT a, a FROM und
+  UNION SELECT reach.node, und.b FROM reach JOIN und ON reach.r = und.a),
+comp AS (SELECT node, MIN(r) AS canonical FROM reach GROUP BY node),
+resolved AS (SELECT nm.name AS name,
+             COALESCE(comp.canonical, nm.name) AS canonical
+             FROM nm LEFT JOIN comp ON nm.name = comp.node)
+"""
+
+
+def _entity_resolution_groups(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.resolve import resolve_names
+
+    res = resolve_names(_resolution_names(spark, sf))
+    return (
+        res.groupBy("canonical")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.array_join(
+                F.sort_array(F.collect_list("name")), "|"
+            ).alias("members"),
+        )
+        .orderBy(F.col("canonical").asc())
+    )
+
+
+_register(
+    "entity_resolution_groups",
+    _entity_resolution_groups,
+    f"""
+WITH RECURSIVE {sentence_ctes()}, {_RESOLVE_CTES}
+SELECT canonical, COUNT(*) AS n_members,
+       string_agg(name, '|' ORDER BY name) AS members
+FROM resolved GROUP BY canonical ORDER BY canonical ASC
+""",
+)
+
+
+def _entity_mentions_resolved(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.resolve import resolve_names
+
+    m = P.mention_rows(_sentences(spark, sf)).select("sentence_id", "label")
+    res = resolve_names(_resolution_names(spark, sf))
+    return (
+        m.join(res, m["label"] == res["name"])
+        .groupBy("canonical")
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.countDistinct("sentence_id").alias("n_sentences"),
+        )
+        .orderBy(F.col("n_mentions").desc(), F.col("canonical").asc())
+    )
+
+
+_register(
+    "entity_mentions_resolved",
+    _entity_mentions_resolved,
+    f"""
+WITH RECURSIVE {sentence_ctes()}, {_RESOLVE_CTES},
+mrows AS (SELECT DISTINCT s.sentence_id AS sentence_id, g.label AS label
+          FROM sentences s, {gazetteer_values()}
+          WHERE contains(' ' || lower(s.cleaned) || ' ',
+                         ' ' || g.label || ' '))
+SELECT r.canonical AS canonical, COUNT(*) AS n_mentions,
+       COUNT(DISTINCT m.sentence_id) AS n_sentences
+FROM mrows m JOIN resolved r ON m.label = r.name
+GROUP BY r.canonical ORDER BY n_mentions DESC, canonical ASC
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Correlated-subquery decorrelation suite (TPC-H Q4/Q21/Q22/Q2 motifs).
+# The Spark side is the DECORRELATED plan a distributed engine must run
+# (semi/anti hash joins, one broadcast scalar, group-max join-back);
+# the oracle states the same query as genuine correlated EXISTS / NOT
+# EXISTS / scalar subqueries, so the hash pins the decorrelation
+# rewrite itself.  At 100 TB each shape is one shuffle on the join key
+# (plus a broadcast for the scalar) - no per-row subquery execution.
+# ---------------------------------------------------------------------------
+
+# Q4 motif: orders with at least one lineitem shipped > 30 days after
+# the order date, counted by priority.  Semi join = EXISTS.
+_register(
+    "order_priority_exists_check",
+    lambda spark, sf: _read(spark, sf, "orders")
+    .join(
+        _read(spark, sf, "lineitem").select("l_orderkey", "l_shipdate"),
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        ),
+        "left_semi",
+    )
+    .groupBy("o_orderpriority")
+    .agg(F.count("*").alias("n_orders"))
+    .orderBy("o_orderpriority"),
+    "SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders o "
+    "WHERE EXISTS (SELECT 1 FROM lineitem l "
+    "WHERE l.l_orderkey = o.o_orderkey "
+    "AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY) "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+)
+
+
+# Q21 motif: suppliers who were the ONLY late supplier (> 60 days) on a
+# finished multi-supplier order.  EXISTS + NOT EXISTS decorrelate into
+# one per-order aggregate (distinct suppliers / distinct late
+# suppliers) joined back to the late candidates - the whole query is
+# two hash aggregates and two joins, no per-row probing.
+def _suppliers_kept_orders_waiting(spark: SparkSession, sf: str) -> DataFrame:
+    l = _read(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        _read(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    flagged = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
+    )
+    stats = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    cand = (
+        flagged.filter(F.col("late"))
+        .select("l_orderkey", "l_suppkey")
+        .dropDuplicates(["l_orderkey", "l_suppkey"])
+    )
+    waits = (
+        cand.join(stats, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )
+    return (
+        waits.join(
+            F.broadcast(
+                _read(spark, sf, "supplier").select("s_suppkey", "s_name")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(20)
+    )
+
+
+_register(
+    "suppliers_kept_orders_waiting",
+    _suppliers_kept_orders_waiting,
+    """
+SELECT s.s_suppkey, s.s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+AND EXISTS (SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                JOIN orders o2 ON o2.o_orderkey = l3.l_orderkey
+                WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o2.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY numwait DESC, s.s_suppkey ASC LIMIT 20
+""",
+)
+
+
+# Q22 motif: "prospect" customers - above-average balance, no open
+# order.  The scalar subquery becomes a 1-row broadcast; NOT EXISTS an
+# anti join.  Threshold arithmetic is the engine-portable form: exact
+# DECIMAL sum -> one double cast -> one double division.
+def _prospect_customer_balance(spark: SparkSession, sf: str) -> DataFrame:
+    c = _read(spark, sf, "customer")
+    thr = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
+            / F.count("*")
+        ).alias("thr")
+    )
+    open_orders = (
+        _read(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .join(
+            open_orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast(_DEC))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_register(
+    "prospect_customer_balance",
+    _prospect_customer_balance,
+    """
+SELECT c_mktsegment, COUNT(*) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                               AS DOUBLE) / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0)
+AND NOT EXISTS (SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+)
+
+
+# Q2 motif: the max-balance customer(s) per nation via group-max
+# join-back (the decorrelation of a correlated scalar MAX); ties all
+# surface, MAX over doubles is exact (picks an existing value - no
+# accumulation order involved).
+_register(
+    "top_customer_per_nation",
+    lambda spark, sf: _read(spark, sf, "customer")
+    .join(
+        _read(spark, sf, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.max("c_acctbal").alias("max_bal"))
+        .withColumnRenamed("c_nationkey", "mk"),
+        F.col("c_nationkey") == F.col("mk"),
+    )
+    .filter(F.col("c_acctbal") == F.col("max_bal"))
+    .join(
+        F.broadcast(_read(spark, sf, "nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    .select("n_name", "c_custkey", "c_name", "c_acctbal")
+    .orderBy(F.col("n_name").asc(), F.col("c_custkey").asc()),
+    """
+SELECT n_name, c_custkey, c_name, c_acctbal
+FROM customer c JOIN nation ON c.c_nationkey = n_nationkey
+WHERE c.c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
+                     WHERE c2.c_nationkey = c.c_nationkey)
+ORDER BY n_name ASC, c_custkey ASC
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 entries of
