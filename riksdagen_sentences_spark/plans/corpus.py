@@ -7050,6 +7050,90 @@ ORDER BY n_name ASC, c_custkey ASC
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (operators/winnow.py, Schleimer et al. 2003):
+# rolling k-gram hashes, one (hash,pos)-minimum per w-window.  The
+# oracle rebuilds the selection with the join-back formulation (window
+# min hash, then leftmost holder position), which is provably the same
+# rule as Spark's min(struct(hash,pos)) - so the hash pins the rolling
+# hash, the window algebra, AND the tie rule.
+# ---------------------------------------------------------------------------
+
+_WINNOW_CTES = """
+wbase AS (SELECT doc_id, lower(text) AS t FROM documents
+          WHERE length(lower(text)) >= 5),
+wh AS (SELECT doc_id, i AS pos,
+       CAST(concat('0x', substr(md5(substr(t, CAST(i AS INT), 5)), 1, 15))
+            AS BIGINT) AS hash
+       FROM wbase, unnest(range(1, length(t) - 5 + 2)) AS u(i)),
+wm AS (SELECT doc_id, pos AS s,
+       MIN(hash) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mh,
+       COUNT(*) OVER (PARTITION BY doc_id) AS n FROM wh),
+wstarts AS (SELECT doc_id, s, mh FROM wm
+            WHERE s <= greatest(1, n - 8 + 1)),
+wsel AS (SELECT st.doc_id AS doc_id, st.s AS s, st.mh AS mh,
+         MIN(wh.pos) AS fpos
+         FROM wstarts st JOIN wh ON wh.doc_id = st.doc_id
+              AND wh.hash = st.mh
+              AND wh.pos >= st.s AND wh.pos <= st.s + 7
+         GROUP BY st.doc_id, st.s, st.mh),
+wfp AS (SELECT DISTINCT doc_id, mh AS hash, fpos AS pos FROM wsel)
+"""
+
+
+def _winnow_fp(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(_read(spark, sf, "documents"))
+
+
+_register(
+    "winnowing_fingerprint_stats",
+    lambda spark, sf: _winnow_fp(spark, sf)
+    .groupBy("doc_id")
+    .agg(
+        F.count("*").alias("n_fp"),
+        F.min("hash").alias("min_hash"),
+        F.max("hash").alias("max_hash"),
+    )
+    .orderBy("doc_id"),
+    f"WITH {_WINNOW_CTES} "
+    "SELECT doc_id, COUNT(*) AS n_fp, MIN(hash) AS min_hash, "
+    "MAX(hash) AS max_hash FROM wfp GROUP BY doc_id ORDER BY doc_id",
+)
+
+
+def _winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.winnow import shared_fingerprint_pairs
+
+    return (
+        shared_fingerprint_pairs(_winnow_fp(spark, sf))
+        .orderBy(
+            F.col("n_shared").desc(),
+            F.col("doc_a").asc(),
+            F.col("doc_b").asc(),
+        )
+        .limit(20)
+    )
+
+
+_register(
+    "winnowing_shared_pairs_top20",
+    _winnow_pairs,
+    f"""
+WITH {_WINNOW_CTES},
+winv AS (SELECT DISTINCT doc_id, hash FROM wfp),
+wdfc AS (SELECT hash FROM winv GROUP BY hash HAVING COUNT(*) <= 50),
+wrare AS (SELECT i.doc_id, i.hash FROM winv i JOIN wdfc USING (hash))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM wrare a JOIN wrare b ON a.hash = b.hash AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+ORDER BY n_shared DESC, doc_a ASC, doc_b ASC LIMIT 20
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 entries of
