@@ -7134,6 +7134,58 @@ ORDER BY n_shared DESC, doc_a ASC, doc_b ASC LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# OLS by distributed normal equations (operators/regress.py): the
+# sufficient statistics are ONE map-side-combinable aggregate; the
+# solve is scalar arithmetic on the aggregate row.  The oracle is
+# generated by the operator's own SQL twin (identical casts,
+# parenthesization, rounding), so the hash pins the whole derivation.
+# ---------------------------------------------------------------------------
+
+from ..operators.regress import ols_fit, ols_fit_sql  # noqa: E402
+
+_register(
+    "ols_price_on_quantity_by_flag",
+    lambda spark, sf: ols_fit(
+        _read(spark, sf, "lineitem"),
+        "l_extendedprice",
+        "l_quantity",
+        ["l_returnflag"],
+    ).orderBy("l_returnflag"),
+    ols_fit_sql(
+        "lineitem", "l_extendedprice", "l_quantity", ["l_returnflag"]
+    )
+    + " ORDER BY l_returnflag",
+)
+
+
+def _ols_order_total(spark: SparkSession, sf: str) -> DataFrame:
+    cnt = (
+        _read(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_items"))
+    )
+    j = (
+        _read(spark, sf, "orders")
+        .join(cnt, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_totalprice", "n_items")
+    )
+    return ols_fit(j, "o_totalprice", "n_items")
+
+
+_register(
+    "ols_order_total_on_item_count",
+    _ols_order_total,
+    ols_fit_sql(
+        "(SELECT o_totalprice, n_items FROM orders JOIN "
+        "(SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem "
+        "GROUP BY l_orderkey) ON o_orderkey = l_orderkey)",
+        "o_totalprice",
+        "n_items",
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 entries of
