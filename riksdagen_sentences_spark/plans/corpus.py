@@ -7186,6 +7186,78 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Z-order layout audit (operators/layout.py): bucket the events table
+# 16 ways under two layouts - Morton-interleaved (user, hour) vs plain
+# time order - and report each bucket's (x, y) extent rectangle.  The
+# z-order rows bound BOTH dimensions; the time rows leave x at full
+# width.  All integer bit algebra, so the layout decision itself is
+# under the oracle.
+# ---------------------------------------------------------------------------
+
+
+def _layout_events(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.temporal import ntz_micros
+
+    return (
+        _read(spark, sf, "events")
+        .select(
+            "event_id",
+            "user_id",
+            ntz_micros(F.col("ts")).alias("us"),
+        )
+        .select(
+            "event_id",
+            "us",
+            (F.col("user_id") % 1024).alias("x"),
+            F.expr("(us div 3600000000) % 1024").alias("y"),
+        )
+    )
+
+
+def _layout_skipping_extents(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.layout import bucket_extents, zvalue
+
+    e = _layout_events(spark, sf).persist()
+    ez = e.withColumn("z", zvalue(F.col("x"), F.col("y"), 10))
+    bz = bucket_extents(ez, "x", "y", F.col("z"), "event_id").select(
+        F.lit("zorder").alias("layout"), "*"
+    )
+    bt = bucket_extents(e, "x", "y", F.col("us"), "event_id").select(
+        F.lit("time").alias("layout"), "*"
+    )
+    out = bz.unionByName(bt).orderBy("layout", "bucket")
+    _track(e)
+    return out
+
+
+from ..operators.layout import zvalue_sql  # noqa: E402
+
+_register(
+    "layout_skipping_extents",
+    _layout_skipping_extents,
+    f"""
+WITH le AS (SELECT event_id, epoch_us(ts) AS us,
+            user_id % 1024 AS x,
+            (epoch_us(ts) // 3600000000) % 1024 AS y FROM events),
+lz AS (SELECT le.*, {zvalue_sql('x', 'y', 10)} AS z FROM le),
+rz AS (SELECT x, y, ROW_NUMBER() OVER (ORDER BY z, event_id) AS rn,
+       COUNT(*) OVER () AS n FROM lz),
+bz AS (SELECT ((rn - 1) * 16) // n AS bucket, COUNT(*) AS n_rows,
+       MIN(x) AS x_min, MAX(x) AS x_max,
+       MIN(y) AS y_min, MAX(y) AS y_max FROM rz GROUP BY 1),
+rt AS (SELECT x, y, ROW_NUMBER() OVER (ORDER BY us, event_id) AS rn,
+       COUNT(*) OVER () AS n FROM le),
+bt AS (SELECT ((rn - 1) * 16) // n AS bucket, COUNT(*) AS n_rows,
+       MIN(x) AS x_min, MAX(x) AS x_max,
+       MIN(y) AS y_min, MAX(y) AS y_max FROM rt GROUP BY 1)
+SELECT 'zorder' AS layout, * FROM bz
+UNION ALL SELECT 'time' AS layout, * FROM bt
+ORDER BY layout, bucket
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 entries of
