@@ -7258,6 +7258,78 @@ ORDER BY layout, bucket
 
 
 # ---------------------------------------------------------------------------
+# Tokenizer fertility by language (operators/bpe.py): pieces-per-word
+# under the learned merge table, occurrence-weighted per documents.lang
+# - the metric an LLM-data pipeline tracks to catch a tokenizer that
+# over-fragments one language.  Shares the proven _bpe_ctes chain.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_fertility_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.bpe import learn_bpe, segment_words
+
+    docs = _read(spark, sf, "documents")
+    merges = learn_bpe(docs, n_merges=_BPE_MERGES)
+    seg = segment_words(docs, merges).select(
+        "w", F.size("pieces").alias("n_pieces")
+    )
+    lw = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("n"))
+    )
+    tot_pieces = F.sum(F.col("n") * F.col("n_pieces"))
+    tot_words = F.sum(F.col("n"))
+    return (
+        lw.join(seg, "w")
+        .groupBy("lang")
+        .agg(
+            tot_words.alias("n_words"),
+            tot_pieces.alias("n_pieces_total"),
+            (
+                F.floor(
+                    (
+                        tot_pieces.cast("double")
+                        / tot_words.cast("double")
+                    )
+                    * F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+_register(
+    "bpe_fertility_by_lang",
+    _bpe_fertility_by_lang,
+    f"""
+WITH {_bpe_ctes(_BPE_MERGES)},
+segp AS (SELECT w, len(string_split(trim(seq), '  ')) AS n_pieces
+         FROM wc{_BPE_MERGES}),
+lw AS (SELECT lang, w, COUNT(*) AS n FROM (
+        SELECT lang, unnest(string_split_regex(lower(text),
+                            '[^a-z0-9]+')) AS w FROM documents)
+       WHERE w <> '' GROUP BY lang, w)
+SELECT lang, CAST(SUM(n) AS BIGINT) AS n_words,
+       CAST(SUM(n * n_pieces) AS BIGINT) AS n_pieces_total,
+       floor((CAST(SUM(n * n_pieces) AS DOUBLE) /
+              CAST(SUM(n) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+       AS fertility
+FROM lw JOIN segp USING (w) GROUP BY lang ORDER BY lang
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 entries of
