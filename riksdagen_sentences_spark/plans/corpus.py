@@ -7330,6 +7330,41 @@ FROM lw JOIN segp USING (w) GROUP BY lang ORDER BY lang
 
 
 # ---------------------------------------------------------------------------
+# Stream-static enrichment join (streaming/incremental.py): each
+# micro-batch broadcast-joins a static weight dim and appends its
+# partial DECIMAL sums; the read-side merge is exact and associative,
+# so the batch join+aggregate SQL is the oracle VERBATIM - the same
+# cheapest-oracle discipline as the HLL/CM/quantile replays.
+# ---------------------------------------------------------------------------
+
+
+def _streaming_enriched_totals(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.incremental import replay_enriched_totals
+
+    return replay_enriched_totals(
+        spark, _read(spark, sf, "events"), n_slices=4
+    )
+
+
+def _enrich_dim_values() -> str:
+    from ..streaming.incremental import ENRICH_WEIGHTS
+
+    rows = ", ".join(f"('{t}', {w})" for t, w in ENRICH_WEIGHTS)
+    return f"(VALUES {rows}) AS d(event_type, weight)"
+
+
+_register(
+    "streaming_enriched_totals_replay",
+    _streaming_enriched_totals,
+    "SELECT event_type, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2)) * weight) AS DOUBLE) "
+    "AS weighted_total, COUNT(*) AS n_events "
+    f"FROM events JOIN {_enrich_dim_values()} USING (event_type) "
+    "GROUP BY event_type ORDER BY event_type",
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 entries of

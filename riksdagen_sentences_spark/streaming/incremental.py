@@ -914,3 +914,92 @@ def replay_quantile_sketch(
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# Static enrichment dim for the stream-static join replay: the weight a
+# downstream value model assigns each event type.  Mirrored as a SQL
+# VALUES list by the oracle.
+ENRICH_WEIGHTS = (
+    ("view", 1),
+    ("click", 3),
+    ("purchase", 10),
+    ("signup", 5),
+)
+
+
+def replay_enriched_totals(
+    spark: SparkSession, events: DataFrame, n_slices: int = 4
+) -> DataFrame:
+    """(event_type, weighted_total, n_events): stream-STATIC join
+    through a real micro-batch stream.  Each batch inner-joins the
+    broadcast static weight dim (a stateless BroadcastHashJoin - the
+    canonical enrichment shape: no stream state, no watermark), folds
+    its own partial (sum of DECIMAL value * weight, count) and APPENDS
+    it; the read-side merge re-sums the partials.  DECIMAL addition is
+    exact and associative, so the result is bit-identical to the batch
+    join + aggregate no matter how the stream was sliced - the batch
+    SQL oracle applies verbatim.  Types absent from the dim ('error')
+    drop out in every batch, exactly as in the batch join."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    dim = spark.createDataFrame(
+        list(ENRICH_WEIGHTS), "event_type string, weight int"
+    )
+    work = tempfile.mkdtemp(prefix="sgraft_enrichreplay_")
+    try:
+        os.makedirs(os.path.join(work, "in"))
+        order = Window.orderBy(F.col("event_id").asc())
+        sliced = events.withColumn(
+            "__slice", F.ntile(n_slices).over(order)
+        )
+        for k in range(1, n_slices + 1):
+            _stage_slice(
+                sliced.filter(F.col("__slice") == k).drop("__slice"),
+                work, k,
+            )
+        parts_dir = os.path.join(work, "parts")
+
+        def _fold_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            j = batch_df.join(F.broadcast(dim), "event_type")
+            (
+                j.groupBy("event_type")
+                .agg(
+                    F.sum(
+                        F.col("value").cast("decimal(18,2)")
+                        * F.col("weight")
+                    ).alias("part_sum"),
+                    F.count("*").alias("part_n"),
+                )
+                .write.mode("append")
+                .parquet(parts_dir)
+            )
+
+        stream = (
+            spark.readStream.schema(sliced.drop("__slice").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(work, "in"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(_fold_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        out = (
+            spark.read.parquet(parts_dir)
+            .groupBy("event_type")
+            .agg(
+                F.sum("part_sum").cast("double").alias("weighted_total"),
+                F.sum("part_n").alias("n_events"),
+            )
+            .orderBy("event_type")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
