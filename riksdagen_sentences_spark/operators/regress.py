@@ -119,3 +119,85 @@ def ols_fit_sql(
         f"{r4.format(v=intercept)} AS intercept, "
         f"{r4.format(v=r2)} AS r2 FROM ({stats})"
     )
+
+
+def pairwise_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(col_x, col_y, corr): Pearson correlation for every unordered
+    column pair, from ONE map-side-combinable aggregate (n + one exact
+    DECIMAL sum per column + one per pair) unpivoted to long format.
+    sqrt is IEEE-correctly-rounded in both engines, so the fixed
+    parenthesization stays engine-portable; rounded to 4 dp."""
+    aggs = [F.count("*").cast("double").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast(_DEC)).cast("double").alias(f"s_{c}"))
+        aggs.append(
+            F.sum(F.col(c).cast(_DEC) * F.col(c).cast(_DEC))
+            .cast("double")
+            .alias(f"s_{c}_{c}")
+        )
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(
+                F.sum(F.col(a).cast(_DEC) * F.col(b).cast(_DEC))
+                .cast("double")
+                .alias(f"s_{a}_{b}")
+            )
+    s = df.agg(*aggs)
+
+    def _corr(a: str, b: str) -> Column:
+        n = F.col("n")
+        cov = n * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        va = n * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        vb = n * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        return _r4(cov / F.sqrt(va * vb))
+
+    rows = [
+        F.struct(
+            F.lit(a).alias("col_x"),
+            F.lit(b).alias("col_y"),
+            _corr(a, b).alias("corr"),
+        )
+        for i, a in enumerate(cols)
+        for b in cols[i + 1:]
+    ]
+    return (
+        s.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.*")
+        .orderBy("col_x", "col_y")
+    )
+
+
+def pairwise_correlations_sql(table_expr: str, cols: list[str]) -> str:
+    """DuckDB twin of pairwise_correlations - same sums, same
+    parenthesization, same rounding."""
+
+    def dec(c: str) -> str:
+        return f"CAST({c} AS DECIMAL(18,2))"
+
+    sels = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for c in cols:
+        sels.append(f"CAST(SUM({dec(c)}) AS DOUBLE) AS s_{c}")
+        sels.append(f"CAST(SUM({dec(c)} * {dec(c)}) AS DOUBLE) AS s_{c}_{c}")
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1:]
+    ]
+    for a, b in pairs:
+        sels.append(f"CAST(SUM({dec(a)} * {dec(b)}) AS DOUBLE) AS s_{a}_{b}")
+    stats = f"SELECT {', '.join(sels)} FROM {table_expr}"
+    outs = []
+    for a, b in pairs:
+        corr = (
+            f"((n * s_{a}_{b} - s_{a} * s_{b}) / "
+            f"sqrt((n * s_{a}_{a} - s_{a} * s_{a}) * "
+            f"(n * s_{b}_{b} - s_{b} * s_{b})))"
+        )
+        outs.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+            f"floor(({corr}) * 10000.0 + 0.5) / 10000.0 AS corr "
+            f"FROM stats"
+        )
+    return (
+        f"WITH stats AS ({stats}) "
+        + " UNION ALL ".join(outs)
+        + " ORDER BY col_x, col_y"
+    )

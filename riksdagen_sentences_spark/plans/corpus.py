@@ -7364,6 +7364,22 @@ _register(
 )
 
 
+from ..operators.regress import (  # noqa: E402
+    pairwise_correlations,
+    pairwise_correlations_sql,
+)
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+_register(
+    "lineitem_correlations",
+    lambda spark, sf: pairwise_correlations(
+        _read(spark, sf, "lineitem"), _CORR_COLS
+    ),
+    pairwise_correlations_sql("lineitem", _CORR_COLS),
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
