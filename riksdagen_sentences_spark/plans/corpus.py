@@ -7381,6 +7381,199 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# KG negative sampling: for every true (sentence mentions entity) edge,
+# two corrupted-tail candidates drawn DETERMINISTICALLY (md5 of
+# subj|obj|i mod |entities| indexes a row_number over the entity
+# catalog - reproducible across engines, partitionings, and cluster
+# sizes, unlike rand()), then filtered against the true edge set with
+# an anti join so no "negative" is secretly positive - the training
+# pairs a KG-embedding trainer consumes.  The entity row_number is a
+# catalog-sized window (entities are the small side by construction);
+# the per-edge work is one broadcast join + one anti join.
+# ---------------------------------------------------------------------------
+
+
+def _kg_negative_samples(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    m = (
+        P.mention_edges(_sentences(spark, sf))
+        .select("subj", "obj")
+        .dropDuplicates(["subj", "obj"])
+    )
+    ents = P.entities(_sentences(spark, sf)).select("entity_id")
+    ranked = ents.withColumn(
+        "rn", F.row_number().over(Window.orderBy("entity_id"))
+    )
+    cnt = ents.agg(F.count("*").alias("n_ents"))
+    raw = None
+    for i in (1, 2):
+        part = m.crossJoin(F.broadcast(cnt)).select(
+            "subj",
+            "obj",
+            F.lit(i).alias("i"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("subj"),
+                                F.lit("|"),
+                                F.col("obj"),
+                                F.lit("|"),
+                                F.lit(str(i)),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n_ents")
+                + 1
+            ).alias("idx"),
+        )
+        raw = part if raw is None else raw.unionByName(part)
+    cand = raw.join(
+        F.broadcast(ranked), F.col("idx") == F.col("rn")
+    ).select("subj", "obj", "i", F.col("entity_id").alias("neg_obj"))
+    kept = cand.join(
+        m.select(F.col("subj").alias("t_subj"), F.col("obj").alias("t_obj")),
+        (F.col("subj") == F.col("t_subj"))
+        & (F.col("neg_obj") == F.col("t_obj")),
+        "left_anti",
+    )
+    n_true = m.agg(F.count("*").alias("n_true"))
+    n_raw = cand.agg(F.count("*").alias("n_raw"))
+    n_kept = kept.agg(F.count("*").alias("n_kept"))
+    return n_true.crossJoin(n_raw).crossJoin(n_kept)
+
+
+_register(
+    "kg_negative_sample_stats",
+    _kg_negative_samples,
+    f"""
+WITH {sentence_ctes()},
+medges AS (SELECT DISTINCT s.sentence_id AS subj, {_ENTITY_ID_SQL} AS obj
+           FROM sentences s, {gazetteer_values()}
+           WHERE contains(' ' || lower(s.cleaned) || ' ',
+                          ' ' || g.label || ' ')),
+kents AS (SELECT DISTINCT {_ENTITY_ID_SQL} AS entity_id
+          FROM sentences s, {gazetteer_values()}
+          WHERE contains(' ' || lower(s.cleaned) || ' ',
+                         ' ' || g.label || ' ')),
+kranked AS (SELECT entity_id, ROW_NUMBER() OVER (ORDER BY entity_id)
+            AS rn FROM kents),
+knn AS (SELECT COUNT(*) AS n_ents FROM kents),
+kraw AS (SELECT subj, obj, i,
+         (CAST(concat('0x', substr(md5(subj || '|' || obj || '|' ||
+                                       CAST(i AS VARCHAR)), 1, 15))
+               AS BIGINT) % n_ents) + 1 AS idx
+         FROM medges, (VALUES (1), (2)) AS k(i), knn),
+kcand AS (SELECT r.subj AS subj, r.obj AS obj, r.i AS i,
+          e.entity_id AS neg_obj
+          FROM kraw r JOIN kranked e ON r.idx = e.rn),
+kkept AS (SELECT c.* FROM kcand c LEFT JOIN medges t
+          ON c.subj = t.subj AND c.neg_obj = t.obj
+          WHERE t.subj IS NULL)
+SELECT (SELECT COUNT(*) FROM medges) AS n_true,
+       (SELECT COUNT(*) FROM kcand) AS n_raw,
+       (SELECT COUNT(*) FROM kkept) AS n_kept
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# MDM survivorship (operators/mdm.py): three synthetic source systems
+# with different recency and different per-field coverage fold into one
+# golden record per customer, "freshest non-null wins", as ONE hash
+# aggregate (arg-max encoded as MAX over recency-prefixed strings).
+# The legacy system covers every field, so golden records are total.
+# ---------------------------------------------------------------------------
+
+
+def _mdm_sources(spark: SparkSession, sf: str) -> DataFrame:
+    c = _read(spark, sf, "customer")
+    dec = F.col("c_acctbal").cast(_DEC).cast("string")
+    key = F.col("c_custkey")
+    crm = c.select(
+        key.alias("c_custkey"),
+        F.lit(3).alias("recency"),
+        F.when(key % 7 != 0, F.col("c_name")).alias("name"),
+        F.when(key % 5 == 0, dec).alias("bal"),
+        F.when(key % 3 != 0, F.col("c_mktsegment")).alias("seg"),
+    )
+    erp = c.select(
+        key.alias("c_custkey"),
+        F.lit(2).alias("recency"),
+        F.when(key % 2 == 0, F.upper(F.col("c_name"))).alias("name"),
+        F.when(F.col("c_acctbal") > 0, dec).alias("bal"),
+        F.lit(None).cast("string").alias("seg"),
+    )
+    legacy = c.select(
+        key.alias("c_custkey"),
+        F.lit(1).alias("recency"),
+        F.concat(F.col("c_name"), F.lit(" (legacy)")).alias("name"),
+        dec.alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    return crm.unionByName(erp).unionByName(legacy)
+
+
+def _golden_customer_records(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.mdm import golden_records
+
+    g = golden_records(
+        _mdm_sources(spark, sf), "c_custkey", "recency",
+        ["name", "bal", "seg"],
+    )
+    return g.select(
+        "c_custkey",
+        "name",
+        F.col("bal").cast("double").alias("acctbal"),
+        F.col("seg").alias("segment"),
+    ).orderBy("c_custkey")
+
+
+def _mdm_sources_sql() -> str:
+    dec = "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR)"
+    return f"""(
+SELECT c_custkey, 3 AS recency,
+  CASE WHEN c_custkey % 7 <> 0 THEN c_name END AS name,
+  CASE WHEN c_custkey % 5 = 0 THEN {dec} END AS bal,
+  CASE WHEN c_custkey % 3 <> 0 THEN c_mktsegment END AS seg
+FROM customer
+UNION ALL
+SELECT c_custkey, 2 AS recency,
+  CASE WHEN c_custkey % 2 = 0 THEN upper(c_name) END AS name,
+  CASE WHEN c_acctbal > 0 THEN {dec} END AS bal,
+  CAST(NULL AS VARCHAR) AS seg
+FROM customer
+UNION ALL
+SELECT c_custkey, 1 AS recency, c_name || ' (legacy)' AS name,
+  {dec} AS bal, c_mktsegment AS seg
+FROM customer)"""
+
+
+from ..operators.mdm import golden_records_sql  # noqa: E402
+
+_register(
+    "golden_customer_records",
+    _golden_customer_records,
+    "SELECT c_custkey, name, CAST(bal AS DOUBLE) AS acctbal, "
+    "seg AS segment FROM ("
+    + golden_records_sql(
+        _mdm_sources_sql() + " AS src",
+        "c_custkey",
+        "recency",
+        ["name", "bal", "seg"],
+    )
+    + ") ORDER BY c_custkey",
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 entries of
