@@ -94,6 +94,43 @@ def language_breakdown(snapshot: DataFrame) -> DataFrame:
     )
 
 
+def import_edges(
+    snapshot: DataFrame, pattern: str = r"import (m[0-9]+)"
+) -> DataFrame:
+    """(repo, path, module) import statements extracted from file
+    content — the KG-construction step for a code corpus: every row is
+    a ``(repo:path, imports, module)`` triple.
+
+    Reference analog: the reference extracts (token, linksTo, lexeme)
+    triples from document text via a broadcast dictionary
+    (models/sentences.py); over code the dictionary is replaced by a
+    syntax pattern, but the plan shape is identical — one JVM-side
+    ``regexp_extract_all`` per row followed by one explode, zero
+    Python, zero shuffle.  At 10^12-file scale this is a pure map
+    stage: partitioning is whatever the snapshot scan provides, and
+    nothing here adds an exchange.
+    """
+    mods = F.explode(
+        F.regexp_extract_all(F.col("content"), F.lit(pattern), 1)
+    )
+    return snapshot.select(
+        "repo", "path", mods.alias("module")
+    )
+
+
+def module_import_stats(edges: DataFrame) -> DataFrame:
+    """(module, n_imports, n_repos) over the import-edge set — the
+    fan-in profile of the dependency graph (which modules the corpus
+    actually depends on, and how widely).  One hash aggregate; the
+    module key space is vocabulary-sized, so the exchange is tiny
+    regardless of corpus size.
+    """
+    return edges.groupBy("module").agg(
+        F.count("*").alias("n_imports"),
+        F.countDistinct("repo").alias("n_repos"),
+    )
+
+
 def commit_churn(files: DataFrame, order_col: str = "commit_seq") -> DataFrame:
     """(repo, commit_seq, n_changed): per repo and commit ordinal, how
     many files CHANGED content relative to their own previous commit

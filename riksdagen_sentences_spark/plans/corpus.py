@@ -4155,12 +4155,21 @@ _register(
 
 
 def _files_history_sql(
-    n_repos: int = 6, n_paths: int = 30, n_commits: int = 8
+    n_repos: int = 6, n_paths: int = 30, n_commits: int = 8,
+    imports: bool = False,
 ) -> str:
     """DuckDB twin of sources/synth.files_history: same integer
     decomposition of the row id, same md5 commit digests, same planted
-    every-5th-path cross-repo clone content."""
+    every-5th-path cross-repo clone content.  ``imports=True`` mirrors
+    the generator's deterministic import-statement prefix."""
     n = n_repos * n_paths * n_commits
+    imp = (
+        f"'import m' || CAST((path_id * 3 + 1) % {n_paths} AS VARCHAR)"
+        f" || '; import m' || CAST((path_id * 7 + 2) % {n_paths}"
+        " AS VARCHAR) || '; ' || "
+        if imports
+        else ""
+    )
     return f"""
 SELECT
   'repo_' || CAST(repo_id AS VARCHAR) AS repo,
@@ -4169,7 +4178,7 @@ SELECT
       || ':' || CAST(seq AS VARCHAR)) AS commit,
   seq AS commit_seq,
   lang,
-  'def f' || CAST(path_id AS VARCHAR) || '(): return ' || key
+  {imp}'def f' || CAST(path_id AS VARCHAR) || '(): return ' || key
       || ' # v' || CAST(ver AS VARCHAR) AS content
 FROM (
   SELECT *,
@@ -4284,6 +4293,79 @@ SELECT repo, lang, n_files,
         CAST(SUM(n_files) OVER (PARTITION BY repo) AS DOUBLE)
         * 10000.0 + 0.5) / 10000.0 AS share
 FROM per
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Import-edge extraction (operators/repo.import_edges): the code-corpus
+# KG-construction step — (repo:path, imports, module) triples parsed out
+# of file content with one JVM regexp_extract_all + explode (pure map
+# stage, zero Python, zero shuffle), then the vocabulary-sized fan-in
+# aggregate.  The fixture's imports=True variant plants deterministic
+# import statements that the DuckDB twin reproduces byte-identically.
+# ---------------------------------------------------------------------------
+
+_FH_IMPORTS_SNAPSHOT_SQL = f"""
+WITH fhi AS ({_files_history_sql(imports=True)}),
+ri AS (SELECT *, row_number() OVER (
+         PARTITION BY repo, path
+         ORDER BY commit_seq DESC, commit DESC) AS rn FROM fhi),
+snapi AS (SELECT repo, path, content FROM ri WHERE rn = 1),
+imp_edges AS (
+  SELECT repo, path,
+         unnest(regexp_extract_all(content, 'import (m[0-9]+)', 1))
+           AS module
+  FROM snapi)
+"""
+
+
+def _repo_import_edges(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import repo as R
+    from ..sources.synth import files_history
+
+    del sf
+    snap = R.latest_snapshot(files_history(spark, imports=True))
+    return R.import_edges(snap).select(
+        F.concat_ws(":", "repo", "path").alias("subj"),
+        F.lit("imports").alias("pred"),
+        F.col("module").alias("obj"),
+    )
+
+
+_register(
+    "repo_import_edges",
+    _repo_import_edges,
+    _FH_IMPORTS_SNAPSHOT_SQL
+    + """
+SELECT repo || ':' || path AS subj, 'imports' AS pred, module AS obj
+FROM imp_edges
+""",
+)
+
+
+def _module_import_counts_top20(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import repo as R
+    from ..sources.synth import files_history
+
+    del sf
+    snap = R.latest_snapshot(files_history(spark, imports=True))
+    stats = R.module_import_stats(R.import_edges(snap))
+    return stats.orderBy(
+        F.col("n_imports").desc(), F.col("module").asc()
+    ).limit(20)
+
+
+_register(
+    "module_import_counts_top20",
+    _module_import_counts_top20,
+    _FH_IMPORTS_SNAPSHOT_SQL
+    + """
+SELECT module, COUNT(*) AS n_imports, COUNT(DISTINCT repo) AS n_repos
+FROM imp_edges
+GROUP BY module
+ORDER BY n_imports DESC, module ASC
+LIMIT 20
 """,
 )
 

@@ -193,6 +193,7 @@ def files_history(
     n_repos: int = 6,
     n_paths: int = 30,
     n_commits: int = 8,
+    imports: bool = False,
 ) -> DataFrame:
     """Commit-HISTORY variant of the files table: every (repo, path)
     carries ``n_commits`` commits, content evolves every 3rd commit,
@@ -205,6 +206,12 @@ def files_history(
     language queries get exact oracles.  The same expressions run
     unchanged at any row count - this is a generator shape, not a
     fixture-size trick.
+
+    ``imports=True`` prefixes every content with two deterministic
+    import statements (``import m<(3p+1)%P>; import m<(7p+2)%P>; ``,
+    identical across repos for a given path) so the import-edge
+    extraction operators have real statements to parse.  Default off:
+    the plain-content oracles stay byte-identical.
     """
     n = n_repos * n_paths * n_commits
     id_ = F.col("id")
@@ -222,6 +229,17 @@ def files_history(
     key = F.when(
         path_id % 5 == 0, F.concat_ws(":", F.lit("shared"), path_id)
     ).otherwise(F.concat_ws(":", repo_id, path_id))
+    imp_prefix = (
+        F.concat(
+            F.lit("import m"),
+            ((path_id * 3 + 1) % n_paths).cast("string"),
+            F.lit("; import m"),
+            ((path_id * 7 + 2) % n_paths).cast("string"),
+            F.lit("; "),
+        )
+        if imports
+        else F.lit("")
+    )
     return spark.range(n).select(
         F.concat_ws("_", F.lit("repo"), repo_id).alias("repo"),
         F.concat(
@@ -233,6 +251,7 @@ def files_history(
         seq.alias("commit_seq"),
         lang.alias("lang"),
         F.concat(
+            imp_prefix,
             F.lit("def f"), path_id.cast("string"),
             F.lit("(): return "), key,
             F.lit(" # v"), ver.cast("string"),

@@ -68,6 +68,47 @@ def test_snapshot_asof_travels_to_earlier_content(spark):
     assert all(r.content.endswith("# v1") for r in rows)
 
 
+def test_import_edges_extraction(spark):
+    """imports=True plants 2 statements per file; extraction finds
+    exactly those, identical across repos for a given path, and the
+    default (imports=False) content yields zero edges."""
+    snap = R.latest_snapshot(files_history(spark, imports=True))
+    edges = R.import_edges(snap)
+    rows = edges.collect()
+    assert len(rows) == 6 * 30 * 2
+    # per-path module set matches the generator arithmetic
+    by_path = {}
+    for r in rows:
+        by_path.setdefault((r.repo, r.path), set()).add(r.module)
+    for (repo, path), mods in by_path.items():
+        p = int(path.split("f")[1].split(".")[0])
+        assert mods == {f"m{(p * 3 + 1) % 30}", f"m{(p * 7 + 2) % 30}"}
+    # plain fixture has no import statements to find
+    plain = R.import_edges(R.latest_snapshot(files_history(spark)))
+    assert plain.count() == 0
+    # pure map stage: no exchange beyond the snapshot's own aggregate
+    # (post-execution AQE repeats nodes under "== Initial Plan ==" -
+    # count only the final section)
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_module_import_stats_fanin(spark):
+    """m_k with k%3==1 is hit by the 3p+1 cycle (3 paths) plus the
+    7p+2 bijection (1 path) -> 4 imports per repo; other residues get
+    only the bijection hit or nothing."""
+    snap = R.latest_snapshot(files_history(spark, imports=True))
+    stats = {
+        r.module: (r.n_imports, r.n_repos)
+        for r in R.module_import_stats(R.import_edges(snap)).collect()
+    }
+    assert sum(n for n, _ in stats.values()) == 6 * 30 * 2
+    assert all(nr == 6 for _, nr in stats.values())
+    assert stats["m1"] == (24, 6)  # 3 cycle hits + 1 bijection hit, x6
+
+
 def test_scd2_intervals_shape(spark):
     """Versions tile each file's history: first starts at the first
     commit, exactly one open (valid_to NULL) version per (repo, path),
