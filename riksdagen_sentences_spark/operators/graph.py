@@ -730,3 +730,62 @@ def hits(edges: DataFrame, n_iter: int = 4) -> DataFrame:
     return auth.select(
         F.col("obj").alias("node"), F.col("a").alias("authority")
     )
+
+
+def adamic_adar(
+    edges: DataFrame, max_hub_degree: int | None = None
+) -> DataFrame:
+    """(a, b, cn, aa) — common-neighbor count and Adamic–Adar score
+
+        aa(a, b) = Σ_{z ∈ N(a) ∩ N(b)}  1 / ln(deg(z))
+
+    for every NON-edge node pair with at least one common neighbor:
+    the classic KG link-prediction baseline (Adamic & Adar 2003),
+    here for proposing missing co-mention edges.
+
+    Plan shape: symmetrize once, wedge-join the adjacency on the
+    middle node z (each z contributes deg(z)² candidate pairs), drop
+    existing edges with one left-anti join on the canonical (a < b)
+    edge set, then a single map-side-combined hash aggregate.  deg(z)
+    ≥ 2 for any z forming a wedge, so ln(deg) > 0 always.
+
+    Scale: the wedge join is quadratic in per-node degree — the same
+    bound as triangle counting.  ``max_hub_degree`` drops nodes above
+    the cap from the MIDDLE position only (they still appear as
+    endpoints): a standard, explicitly-lossy mitigation — hubs
+    contribute the least Adamic–Adar weight per wedge (1/ln(deg) → 0)
+    while costing deg² pairs, so capping trades negligible score mass
+    for removing the dominant skew term."""
+    e = (
+        edges.select(
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .persist()
+    )
+    track(e)
+    adj = e.select(F.col("a").alias("z"), F.col("b").alias("n")).unionByName(
+        e.select(F.col("b").alias("z"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy("z").agg(F.count("*").alias("deg"))
+    if max_hub_degree is not None:
+        deg = deg.filter(F.col("deg") <= F.lit(max_hub_degree))
+    mid = adj.join(deg, "z")
+    wedges = (
+        mid.select("z", F.col("n").alias("wa"), "deg")
+        .join(mid.select("z", F.col("n").alias("wb")), "z")
+        .filter(F.col("wa") < F.col("wb"))
+    )
+    new_pairs = wedges.join(
+        e,
+        (wedges["wa"] == e["a"]) & (wedges["wb"] == e["b"]),
+        "left_anti",
+    )
+    return new_pairs.groupBy(
+        F.col("wa").alias("a"), F.col("wb").alias("b")
+    ).agg(
+        F.count("*").alias("cn"),
+        F.sum(F.lit(1.0) / F.log(F.col("deg"))).alias("aa"),
+    )

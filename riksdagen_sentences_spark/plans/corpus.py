@@ -7656,6 +7656,131 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Link prediction (operators/graph.py adamic_adar): propose missing
+# co-mention edges from the common-neighbor structure of the entity
+# co-occurrence graph — the classic Adamic–Adar baseline a KG consumer
+# runs to suggest new triples.  The oracle rebuilds the wedge→anti-join
+# →aggregate algebra from the same first-principles mention CTE.
+# ---------------------------------------------------------------------------
+
+from ..operators.graph import adamic_adar  # noqa: E402
+
+# The demo gazetteer's co-mentions form cliques (no transitive-only
+# pairs), so the real corpus alone yields ZERO predicted links at both
+# test SFs — a vacuously-green query.  A planted two-sentence path
+# (pe_a—pe_b, pe_b—pe_c) guarantees at least one predicted pair
+# (pe_a, pe_c) through both engines, so the oracle pins the wedge /
+# anti-join / 1-per-ln(deg) algebra on actual rows.
+_LINKPRED_PLANTED = (
+    ("planted_lp_s1", "pe_a"),
+    ("planted_lp_s1", "pe_b"),
+    ("planted_lp_s2", "pe_b"),
+    ("planted_lp_s2", "pe_c"),
+)
+
+
+def _entity_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
+    mention = _mention_edge_frame(spark, sf).unionByName(
+        spark.createDataFrame(
+            list(_LINKPRED_PLANTED), "subj string, obj string"
+        )
+    )
+    pairs = cooccurrence_pairs(mention)
+    scored = adamic_adar(
+        pairs.select(F.col("a").alias("subj"), F.col("b").alias("obj"))
+    )
+    return (
+        scored.select(
+            "a", "b", "cn",
+            (F.floor(F.col("aa") * 10000.0 + F.lit(0.5)) / 10000.0)
+            .alias("aa_r"),
+        )
+        .orderBy(
+            F.col("cn").desc(), F.col("aa_r").desc(),
+            F.col("a").asc(), F.col("b").asc(),
+        )
+        .limit(20)
+    )
+
+
+_register(
+    "entity_link_prediction_top20",
+    _entity_link_prediction,
+    f"WITH {sentence_ctes()}, {_COOC_CTES}, "
+    "lp_edges AS (SELECT gid, item FROM cedges UNION ALL "
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{g}', '{i}')" for g, i in _LINKPRED_PLANTED)
+    + ") AS pl(gid, item)), "
+    "lp_pairs AS (SELECT x.item AS a, y.item AS b, COUNT(*) AS n_ab "
+    "FROM lp_edges x JOIN lp_edges y "
+    "ON x.gid = y.gid AND x.item < y.item GROUP BY x.item, y.item), "
+    "adj AS (SELECT a AS z, b AS n FROM lp_pairs "
+    "UNION ALL SELECT b AS z, a AS n FROM lp_pairs), "
+    "deg AS (SELECT z, COUNT(*) AS deg FROM adj GROUP BY z), "
+    "mid AS (SELECT adj.z, adj.n, deg.deg FROM adj "
+    "JOIN deg ON adj.z = deg.z), "
+    "wed AS (SELECT x.z, x.n AS wa, y.n AS wb, x.deg FROM mid x "
+    "JOIN mid y ON x.z = y.z AND x.n < y.n), "
+    "nw AS (SELECT * FROM wed WHERE NOT EXISTS "
+    "(SELECT 1 FROM lp_pairs p WHERE p.a = wed.wa AND p.b = wed.wb)) "
+    "SELECT wa AS a, wb AS b, COUNT(*) AS cn, "
+    "floor(SUM(1.0 / ln(deg)) * 10000.0 + 0.5) / 10000.0 AS aa_r "
+    "FROM nw GROUP BY wa, wb "
+    "ORDER BY cn DESC, aa_r DESC, a ASC, b ASC LIMIT 20",
+)
+
+
+# ---------------------------------------------------------------------------
+# RDF N-Triples serialization (operators/rdf.py): the graph's exchange
+# format.  partOf (IRI object) and hasText (escaped literal object)
+# edges plus one planted triple whose text carries every character the
+# N-Triples spec escapes — the oracle therefore pins the escape chain
+# itself, not just the concatenation.  Map-only: zero exchanges at any
+# scale.  Reference analog: graph rows materialized to MariaDB
+# (/root/reference/models/database_handler.py); N-Triples is the
+# portable equivalent.
+# ---------------------------------------------------------------------------
+
+from ..operators.rdf import to_ntriples, to_ntriples_sql  # noqa: E402
+
+_RDF_PLANTED_TEXT = 'back\\slash "quote"\nline2\rcr\ttab'
+
+
+def _rdf_ntriples(spark: SparkSession, sf: str) -> DataFrame:
+    sent = _sentences(spark, sf)
+    edges = (
+        P.part_of_edges(sent)
+        .unionByName(P.has_text_edges(sent))
+        .unionByName(
+            spark.createDataFrame(
+                [("planted_subj", S.PRED_HAS_TEXT, _RDF_PLANTED_TEXT)],
+                "subj string, pred string, obj string",
+            )
+        )
+    )
+    return to_ntriples(edges, literal_preds=(S.PRED_HAS_TEXT,))
+
+
+_RDF_PLANTED_SQL = (
+    "'back' || chr(92) || 'slash ' || chr(34) || 'quote' || chr(34) || "
+    "chr(10) || 'line2' || chr(13) || 'cr' || chr(9) || 'tab'"
+)
+
+_register(
+    "rdf_ntriples_lines",
+    _rdf_ntriples,
+    f"WITH {sentence_ctes()}, rdf_edges AS ("
+    f"SELECT sentence_id AS subj, '{S.PRED_PART_OF}' AS pred, "
+    "document_id AS obj FROM sentences "
+    f"UNION ALL SELECT sentence_id, '{S.PRED_HAS_TEXT}', cleaned "
+    "FROM sentences "
+    f"UNION ALL SELECT 'planted_subj', '{S.PRED_HAS_TEXT}', "
+    f"{_RDF_PLANTED_SQL}) "
+    + to_ntriples_sql("rdf_edges", literal_preds=(S.PRED_HAS_TEXT,)),
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample rotation
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records only the FIRST 50 entries of
