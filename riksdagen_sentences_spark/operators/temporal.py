@@ -289,3 +289,57 @@ def range_join_buckets(
         c for c in right.columns if c != key
     ]
     return out.select(*keep)
+
+
+def max_concurrent(
+    intervals: DataFrame,
+    start_us: str,
+    end_us: str,
+    partition_cols: list[str],
+) -> DataFrame:
+    """(partition_cols..., max_concurrent) — the sweep-line maximum of
+    simultaneously-open half-open intervals [start_us, end_us) per
+    partition: peak concurrent sessions, peak open connections, peak
+    in-flight requests.
+
+    Classic +1/−1 sweep: every interval emits (+1 at start, −1 at end),
+    the running sum ordered by (time, delta) is the concurrency curve,
+    its max is the answer.  Ordering delta BEFORE time ties means an
+    interval ending exactly where another starts never counts as
+    overlap (half-open semantics).  The max of the running sum is
+    invariant under reordering of EQUAL (time, delta) keys — equal
+    deltas at one instant are consecutive adds — so the result is
+    engine-deterministic with no further tie-break.
+
+    Scale: the ordered scan runs per partition; the caller's partition
+    columns (e.g. tenant, day-bucket) bound the window's task size —
+    an empty ``partition_cols`` would be the one-task global sort
+    anti-pattern, so it is rejected.  For a global curve over
+    unbounded time, bucket by day and carry prefix offsets across
+    buckets (the packing.prefix_sum composition)."""
+    if not partition_cols:
+        raise ValueError(
+            "max_concurrent requires partition columns; a global "
+            "sweep would serialize into one task - bucket time first"
+        )
+    starts = intervals.select(
+        *partition_cols,
+        F.col(start_us).alias("__t"),
+        F.lit(1).alias("__d"),
+    )
+    ends = intervals.select(
+        *partition_cols,
+        F.col(end_us).alias("__t"),
+        F.lit(-1).alias("__d"),
+    )
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col("__t").asc(), F.col("__d").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        starts.unionByName(ends)
+        .select(*partition_cols, F.sum("__d").over(w).alias("__run"))
+        .groupBy(*partition_cols)
+        .agg(F.max("__run").cast("bigint").alias("max_concurrent"))
+    )

@@ -7656,6 +7656,43 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Sweep-line peak concurrency (operators/temporal.max_concurrent):
+# events become 5-minute half-open activity intervals; the +1/−1
+# running-sum max per event_type is the peak-simultaneous-activity
+# metric.  The per-type partitioning bounds the ordered scan (the
+# global variant is rejected by the operator — see its docstring).
+# ---------------------------------------------------------------------------
+
+
+def _max_concurrent_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.temporal import max_concurrent, ntz_micros
+
+    iv = _read(spark, sf, "events").select(
+        "event_type",
+        ntz_micros(F.col("ts")).alias("s_us"),
+        (ntz_micros(F.col("ts")) + F.lit(300_000_000)).alias("e_us"),
+    )
+    return max_concurrent(iv, "s_us", "e_us", ["event_type"]).orderBy(
+        "event_type"
+    )
+
+
+_register(
+    "max_concurrent_events_by_type",
+    _max_concurrent_by_type,
+    "WITH iv AS (SELECT event_type, epoch_us(ts) AS s_us, "
+    "epoch_us(ts) + 300000000 AS e_us FROM events), "
+    "deltas AS (SELECT event_type, s_us AS t, 1 AS d FROM iv "
+    "UNION ALL SELECT event_type, e_us, -1 FROM iv), "
+    "curve AS (SELECT event_type, SUM(d) OVER (PARTITION BY event_type "
+    "ORDER BY t ASC, d ASC ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    "CURRENT ROW) AS run FROM deltas) "
+    "SELECT event_type, CAST(MAX(run) AS BIGINT) AS max_concurrent "
+    "FROM curve GROUP BY event_type ORDER BY event_type",
+)
+
+
+# ---------------------------------------------------------------------------
 # Link prediction (operators/graph.py adamic_adar): propose missing
 # co-mention edges from the common-neighbor structure of the entity
 # co-occurrence graph — the classic Adamic–Adar baseline a KG consumer
