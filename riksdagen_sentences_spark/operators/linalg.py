@@ -124,3 +124,73 @@ def remove_top_component(
         .withColumn("embedding_abtt", proj)
         .drop("__dot")
     )
+
+
+def srp_signs(
+    seed: str, out_dims: int, in_dims: int
+) -> list[list[float]]:
+    """The ±1 signed-random-projection matrix (out_dims × in_dims) as
+    deterministic md5-derived constants: entry (i, j) is +1 when the
+    first hex byte of md5("<seed>:<i>:<j>") is even.
+
+    The matrix is a seed-fixed CONSTANT, not data: both the Spark plan
+    and the DuckDB oracle inline the same literals, so engine parity
+    is by construction and no runtime hashing happens per row."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(
+                hashlib.md5(
+                    f"{seed}:{i}:{j}".encode()
+                ).hexdigest()[:2],
+                16,
+            )
+            % 2
+            == 0
+            else -1.0
+            for j in range(in_dims)
+        ]
+        for i in range(out_dims)
+    ]
+
+
+def signed_projection(
+    vecs: DataFrame,
+    signs: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, proj) — project each vector onto the ±1 rows of ``signs``
+    (Achlioptas 2003 database-friendly random projection / the JL
+    transform): proj[i] = Σ_j signs[i][j] · x_j / sqrt(out_dims).
+
+    Scale shape: the matrix rides in the plan as literals and the
+    corpus is touched by per-row array expressions ONLY — map-only,
+    zero shuffle, no Python.  Inner products are preserved in
+    expectation with variance O(1/out_dims), which is what the
+    cosine-preservation query audits.  For out_dims large enough that
+    literal arrays strain the plan (thousands), switch to the
+    explode + broadcast-matrix-join variant — same algebra, one
+    shuffle on the id."""
+    import math
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = 1.0 / math.sqrt(len(signs))
+    comps = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(s) for s in row]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(scale)
+        ).alias(f"p{i}")
+        for i, row in enumerate(signs)
+    ]
+    return vecs.select(F.col(id_col), F.array(*comps).alias("proj"))

@@ -7656,6 +7656,135 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Join-key skew profile (operators/profile.key_skew): the pre-shuffle
+# diagnostic for a 100 TB join — exact key-cardinality stats plus
+# hot-key shares and the max/mean skew factor, all from ONE grouped
+# aggregate.  Registered over events.user_id (the engine's canonical
+# sessionization/join key).
+# ---------------------------------------------------------------------------
+
+
+def _key_skew_events(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.profile import key_skew
+
+    return key_skew(_read(spark, sf, "events"), "user_id")
+
+
+from ..operators.profile import key_skew_sql  # noqa: E402
+
+_register(
+    "key_skew_profile_events",
+    _key_skew_events,
+    key_skew_sql("events", "user_id"),
+)
+
+
+# ---------------------------------------------------------------------------
+# Signed random projection (operators/linalg.signed_projection): the
+# Achlioptas/JL ±1 transform that shrinks 64-dim embeddings to 16 dims
+# as a map-only plan (matrix = seed-fixed md5-derived literals shared
+# verbatim with the oracle).  The query audits what JL promises —
+# pairwise cosine preservation — on the 28 pairs of the 8 lowest ids:
+# original cosine, projected cosine, absolute error, all 4dp-rounded.
+# ---------------------------------------------------------------------------
+
+_SRP_OUT_DIMS = 16  # power of two: the 1/sqrt(16) scale is exact binary
+
+
+def _srp_cosine_preservation(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.linalg import signed_projection, srp_signs
+
+    emb = _read(spark, sf, "embeddings").filter(F.col("vec_id") < 8)
+    signs = srp_signs("srp-v1", _SRP_OUT_DIMS, _EMB_DIMS)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    both = emb.select(F.col("vec_id"), v.alias("e")).join(
+        signed_projection(emb, signs), "vec_id"
+    )
+
+    def _dot(c1, c2):
+        return F.aggregate(
+            F.zip_with(c1, c2, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def _cos(c1, c2):
+        return _dot(c1, c2) / (
+            F.sqrt(_dot(c1, c1)) * F.sqrt(_dot(c2, c2))
+        )
+
+    x = both.select(
+        F.col("vec_id").alias("a"),
+        F.col("e").alias("ea"),
+        F.col("proj").alias("pa"),
+    )
+    y = both.select(
+        F.col("vec_id").alias("b"),
+        F.col("e").alias("eb"),
+        F.col("proj").alias("pb"),
+    )
+    r4 = lambda c: F.floor(c * 10000.0 + F.lit(0.5)) / 10000.0  # noqa: E731
+    cos_e = _cos(F.col("ea"), F.col("eb"))
+    cos_p = _cos(F.col("pa"), F.col("pb"))
+    return (
+        x.join(y, F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            r4(cos_e).alias("cos_r"),
+            r4(cos_p).alias("cos_srp_r"),
+            r4(F.abs(cos_e - cos_p)).alias("err_r"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+def _srp_matrix_sql() -> str:
+    from ..operators.linalg import srp_signs
+
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(str(s) for s in row)
+        )
+        for i, row in enumerate(
+            srp_signs("srp-v1", _SRP_OUT_DIMS, _EMB_DIMS)
+        )
+    )
+    return f"(SELECT * FROM (VALUES {rows}) t(i, s))"
+
+
+_register(
+    "srp_cosine_preservation",
+    _srp_cosine_preservation,
+    "WITH sev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+    "FROM embeddings WHERE vec_id < 8), "
+    f"srp AS (SELECT i, s FROM {_srp_matrix_sql()}), "
+    "sproj AS (SELECT vec_id, list(list_dot_product(e, s) * "
+    f"(1.0 / sqrt({_SRP_OUT_DIMS}.0)) ORDER BY i) AS p "
+    "FROM sev CROSS JOIN srp GROUP BY vec_id), "
+    "sboth AS (SELECT sev.vec_id, e, p FROM sev "
+    "JOIN sproj ON sev.vec_id = sproj.vec_id) "
+    "SELECT x.vec_id AS a, y.vec_id AS b, "
+    "floor(list_dot_product(x.e, y.e) / "
+    "(sqrt(list_dot_product(x.e, x.e)) * "
+    "sqrt(list_dot_product(y.e, y.e))) * 10000.0 + 0.5) / 10000.0 "
+    "AS cos_r, "
+    "floor(list_dot_product(x.p, y.p) / "
+    "(sqrt(list_dot_product(x.p, x.p)) * "
+    "sqrt(list_dot_product(y.p, y.p))) * 10000.0 + 0.5) / 10000.0 "
+    "AS cos_srp_r, "
+    "floor(abs(list_dot_product(x.e, y.e) / "
+    "(sqrt(list_dot_product(x.e, x.e)) * "
+    "sqrt(list_dot_product(y.e, y.e))) - "
+    "list_dot_product(x.p, y.p) / "
+    "(sqrt(list_dot_product(x.p, x.p)) * "
+    "sqrt(list_dot_product(y.p, y.p)))) * 10000.0 + 0.5) / 10000.0 "
+    "AS err_r "
+    "FROM sboth x JOIN sboth y ON x.vec_id < y.vec_id "
+    "ORDER BY a, b",
+)
+
+
+# ---------------------------------------------------------------------------
 # Sweep-line peak concurrency (operators/temporal.max_concurrent):
 # events become 5-minute half-open activity intervals; the +1/−1
 # running-sum max per event_type is the peak-simultaneous-activity
