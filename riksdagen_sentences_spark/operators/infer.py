@@ -1,0 +1,58 @@
+"""Rule-based triple inference: property-chain materialization over the
+(subj, pred, obj) graph.
+
+A KG-construction pipeline rarely stops at extracted triples — the
+standard next step is materializing ENTAILED triples from rules
+(RDFS/OWL 2 property chains, e.g. ``partOf⁻ ∘ mentions ⊑ docMentions``:
+"a document mentions every entity its sentences mention").  The
+reference stops at extraction (its graph lives as MariaDB rows,
+/root/reference/models/database_handler.py); this module adds the
+inference layer Spark-first:
+
+- ``invert``: flip a relation's direction — pure projection, no
+  shuffle.
+- ``compose``: R1 ∘ R2 as ONE equi-join on the shared middle node plus
+  a distinct — the relational-algebra form of a SPARQL property path
+  ``R1/R2``.  At 100 TB both sides shuffle once on the middle key; a
+  hot middle node (one sentence mentioning thousands of entities)
+  multiplies output rows, which is semantic fan-out, not a plan
+  artifact — cap upstream if the ontology allows.
+- ``materialize_rule``: compose + tag with the entailed predicate, the
+  unit a forward-chaining loop would run until fixpoint.  Fixed single
+  application keeps every registered query oracle-expressible (the
+  fixpoint loop is the caller's — see graph.bfs_depths for the
+  iterative pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def invert(edges: DataFrame) -> DataFrame:
+    """(subj, obj) → (obj, subj): the inverse relation, shuffle-free."""
+    return edges.select(
+        F.col("obj").alias("subj"), F.col("subj").alias("obj")
+    )
+
+
+def compose(r1: DataFrame, r2: DataFrame) -> DataFrame:
+    """Distinct pairs (a, c) with r1(a, b) and r2(b, c): relation
+    composition via one equi-join on the middle node."""
+    left = r1.select(F.col("subj").alias("__a"), F.col("obj").alias("__b"))
+    right = r2.select(F.col("subj").alias("__b"), F.col("obj").alias("__c"))
+    return (
+        left.join(right, "__b")
+        .select(F.col("__a").alias("subj"), F.col("__c").alias("obj"))
+        .dropDuplicates(["subj", "obj"])
+    )
+
+
+def materialize_rule(
+    r1: DataFrame, r2: DataFrame, entailed_pred: str
+) -> DataFrame:
+    """(subj, pred, obj) triples entailed by the chain r1 ∘ r2."""
+    return compose(r1, r2).select(
+        "subj", F.lit(entailed_pred).alias("pred"), "obj"
+    )

@@ -7656,6 +7656,65 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Rule-based triple inference (operators/infer.py): RDFS/OWL-style
+# property-chain materialization over the extracted graph.  Two
+# entailment rules a Riksdagen KG consumer would run:
+#   partOf⁻ ∘ mentions  ⊑ docMentions   (documents inherit mentions)
+#   occursIn⁻ ∘ linksTo ⊑ usesLexeme    (sentences inherit lexeme links)
+# Each is ONE middle-key equi-join + distinct; the oracles derive the
+# same entailments from first principles, so the hash pins the
+# extraction AND the inference algebra.
+# ---------------------------------------------------------------------------
+
+from ..operators.infer import invert, materialize_rule  # noqa: E402
+
+
+def _inferred_doc_mentions(spark: SparkSession, sf: str) -> DataFrame:
+    sent = _sentences(spark, sf)
+    return materialize_rule(
+        invert(P.part_of_edges(sent)),
+        P.mention_edges(sent),
+        "docMentions",
+    )
+
+
+_register(
+    "inferred_doc_mentions",
+    _inferred_doc_mentions,
+    f"WITH {sentence_ctes()} "
+    "SELECT DISTINCT s.document_id AS subj, 'docMentions' AS pred, "
+    f"{uuid5_sql(chr(39) + 'entity' + chr(39), 'label', 'ner_label')} "
+    f"AS obj FROM sentences s, {gazetteer_values()} "
+    "WHERE contains(' ' || lower(s.cleaned) || ' ', "
+    "' ' || g.label || ' ')",
+)
+
+
+def _inferred_sentence_lexemes(spark: SparkSession, sf: str) -> DataFrame:
+    toks = _tokens(spark, sf)
+    return materialize_rule(
+        invert(P.occurs_in_edges(toks)),
+        P.links_to_edges(toks, spark),
+        "usesLexeme",
+    )
+
+
+_register(
+    "inferred_sentence_lexemes",
+    _inferred_sentence_lexemes,
+    f"WITH {sentence_ctes()}{token_ctes()}, "
+    f"inf_oc AS (SELECT DISTINCT {_RID_FROM_TOK} AS subj, "
+    f"{_SID_FROM_TOK} AS obj FROM token_flags "
+    "WHERE tok_accepted AND sent_accepted), "
+    f"inf_lt AS (SELECT DISTINCT {_RID_FROM_TOK_Q} AS subj, "
+    f"lex.lexeme_id AS obj FROM token_flags t, {lexeme_values()} "
+    "WHERE t.tok_accepted AND t.norm = lex.form AND t.lang = lex.lang) "
+    "SELECT DISTINCT o.obj AS subj, 'usesLexeme' AS pred, "
+    "l.obj AS obj FROM inf_oc o JOIN inf_lt l ON o.subj = l.subj",
+)
+
+
+# ---------------------------------------------------------------------------
 # Join-key skew profile (operators/profile.key_skew): the pre-shuffle
 # diagnostic for a 100 TB join — exact key-cardinality stats plus
 # hot-key shares and the max/mean skew factor, all from ONE grouped
