@@ -217,3 +217,43 @@ def bigram_counts(
             ) / 10000.0
         ).alias("p_r"),
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    id_col: str = "doc",
+    rank_col: str = "rnk",
+    k: int = 60,
+) -> DataFrame:
+    """(doc, n_lists, rrf) — Reciprocal Rank Fusion (Cormack et al.
+    2009) of deterministic rankings: rrf(d) = Σ_lists 1 / (k + rank_d).
+
+    The standard way to hybridize retrieval signals (lexical BM25 +
+    semantic ANN + quality priors) WITHOUT score calibration — only
+    ranks enter, so the lists' score scales never meet.  Each input
+    must carry a total-order rank (row_number over a tie-broken sort;
+    the caller owns tie-breaking).
+
+    Plan: per-list map-only 1/(k+rank) projection, one union, ONE
+    hash aggregate on the id — no joins, no sort until the consumer's
+    top-N.  Determinism: each term is a single IEEE division; for two
+    lists the sum is order-invariant exactly, beyond that the 4dp
+    rounding consumers apply absorbs summation order."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            F.col(id_col).alias("doc"),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col))).alias(
+                "__c"
+            ),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("doc").agg(
+        F.count("*").cast("int").alias("n_lists"),
+        F.sum("__c").alias("rrf"),
+    )

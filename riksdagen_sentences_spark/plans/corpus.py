@@ -7656,6 +7656,79 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Hybrid retrieval via Reciprocal Rank Fusion (operators/ranking.
+# rrf_fuse): BM25 lexical ranking fused with the quality-prior ranking
+# — rank-only fusion, no score calibration.  Both input rankings are
+# row_number over a 4dp-rounded score with the doc id as the total-
+# order tie-break, so the fused list is engine-deterministic.
+# ---------------------------------------------------------------------------
+
+
+def _hybrid_rrf_top20(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.ranking import rrf_fuse
+
+    docs = _read(spark, sf, "documents")
+    bm25 = bm25_scores(docs, _BM25_TERMS).select(
+        "doc",
+        F.row_number()
+        .over(
+            Window.orderBy(F.col("score_r").desc(), F.col("doc").asc())
+        )
+        .alias("rnk"),
+    )
+    qual = docs.select(
+        F.col("doc_id").alias("doc"),
+        TS.quality_score_col(F.col("text")).alias("q"),
+    ).select(
+        "doc",
+        F.row_number()
+        .over(Window.orderBy(F.col("q").desc(), F.col("doc").asc()))
+        .alias("rnk"),
+    )
+    fused = rrf_fuse([bm25, qual], k=60)
+    return (
+        fused.select(
+            "doc",
+            "n_lists",
+            (F.floor(F.col("rrf") * 1000000.0 + F.lit(0.5)) / 1000000.0)
+            .alias("rrf_r"),
+        )
+        .orderBy(F.col("rrf_r").desc(), F.col("doc").asc())
+        .limit(20)
+    )
+
+
+_register(
+    "hybrid_rrf_top20",
+    _hybrid_rrf_top20,
+    f"WITH {_TOK_CTES}, "
+    "lens AS (SELECT doc, COUNT(*) AS dl FROM t2 GROUP BY doc), "
+    "ad AS (SELECT AVG(CAST(dl AS DOUBLE)) AS avgdl FROM lens), "
+    "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM lens), "
+    "tf AS (SELECT doc, term, COUNT(*) AS tf FROM t2 "
+    f"WHERE term IN {str(tuple(_BM25_TERMS))} GROUP BY doc, term), "
+    "dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+    "prt AS (SELECT tf.doc, "
+    "ln(((SELECT n_docs FROM nn) - dfq.df + 0.5) / (dfq.df + 0.5) "
+    "+ 1.0) * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 "
+    "+ 0.75 * lens.dl / (SELECT avgdl FROM ad))) AS s "
+    "FROM tf JOIN dfq USING (term) JOIN lens USING (doc)), "
+    "bsc AS (SELECT doc, floor(SUM(s) * 10000.0 + 0.5) / 10000.0 "
+    "AS score_r FROM prt GROUP BY doc), "
+    "brk AS (SELECT doc, row_number() OVER "
+    "(ORDER BY score_r DESC, doc ASC) AS rnk FROM bsc), "
+    f"qrk AS (SELECT doc_id AS doc, row_number() OVER "
+    f"(ORDER BY {_QUALITY_SQL} DESC, doc_id ASC) AS rnk "
+    "FROM documents), "
+    "uni AS (SELECT doc, 1.0 / (60.0 + rnk) AS c FROM brk "
+    "UNION ALL SELECT doc, 1.0 / (60.0 + rnk) FROM qrk) "
+    "SELECT doc, CAST(COUNT(*) AS INT) AS n_lists, "
+    "floor(SUM(c) * 1000000.0 + 0.5) / 1000000.0 AS rrf_r "
+    "FROM uni GROUP BY doc ORDER BY rrf_r DESC, doc ASC LIMIT 20",
+)
+
+
+# ---------------------------------------------------------------------------
 # Rule-based triple inference (operators/infer.py): RDFS/OWL-style
 # property-chain materialization over the extracted graph.  Two
 # entailment rules a Riksdagen KG consumer would run:
