@@ -707,3 +707,57 @@ def prefix_jaccard_pairs(
     )
     track(toks)
     return out
+
+
+def containment_pairs(
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.8
+) -> DataFrame:
+    """(doc_a, doc_b, containment) — DIRECTIONAL shingle containment
+    |A ∩ B| / |A| ≥ threshold: doc_a's content substantially appears
+    inside doc_b (quotation, excerpt, wrapper-page inclusion).  The
+    case symmetric Jaccard structurally misses: a 100-word doc fully
+    quoted inside a 10,000-word doc has Jaccard ≈ 0.01 but
+    containment 1.0 — exactly the dedup blind spot Lee et al. 2022
+    flag for exact-substring handling.
+
+    Both directions are emitted as separate ordered pairs; floor-4dp
+    rounding keeps the ratio engine-portable (inter and |A| are exact
+    integers).  Plan shape: the same shared-shingle posting-list join
+    as ngram_jaccard_pairs — linear in true intersection mass; a
+    corpus-boilerplate hot shingle fans out quadratically there, and
+    the standard mitigation (drop shingles above a document-frequency
+    cap before the join) applies upstream of this operator."""
+    sh = _doc_shingles(docs, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    c = (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n_shingles").alias("na"),
+            ),
+            "doc_a",
+        )
+        .withColumn(
+            "containment",
+            F.floor(
+                F.col("inter").cast("double")
+                / F.col("na").cast("double")
+                * 10000.0
+                + F.lit(0.5)
+            )
+            / 10000.0,
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return c.select("doc_a", "doc_b", "containment")

@@ -7656,6 +7656,51 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Directional containment dedup (operators/neardup.containment_pairs):
+# |A ∩ B| / |A| catches excerpt/quotation inclusion that symmetric
+# Jaccard structurally misses.  A planted doc (-1) holding a word-
+# boundary-trimmed 200-char prefix of doc 1 guarantees a containment-
+# 1.0 row through BOTH engines (its shingle set is a strict subset of
+# doc 1's), so the oracle pins the directional ratio on real rows.
+# ---------------------------------------------------------------------------
+
+
+def _containment_docs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _read(spark, sf, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") == 1).select(
+        F.lit(-1).cast("bigint").alias("doc_id"),
+        F.regexp_replace(
+            F.substring(F.col("text"), 1, 200), r"\S*$", ""
+        ).alias("text"),
+    )
+    return docs.unionByName(planted)
+
+
+_register(
+    "doc_containment_pairs",
+    lambda spark, sf: ND.containment_pairs(
+        _containment_docs(spark, sf), threshold=0.5
+    ),
+    "WITH cdocs AS (SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT CAST(-1 AS BIGINT), "
+    "regexp_replace(substr(text, 1, 200), '\\S*$', '') "
+    "FROM documents WHERE doc_id = 1), "
+    f"csh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle "
+    "FROM cdocs), "
+    "csizes AS (SELECT doc_id, COUNT(*) AS n FROM csh GROUP BY doc_id), "
+    "cinter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "COUNT(*) AS i FROM csh a JOIN csh b ON a.shingle = b.shingle "
+    "AND a.doc_id <> b.doc_id GROUP BY a.doc_id, b.doc_id) "
+    "SELECT doc_a, doc_b, "
+    "floor(CAST(i AS DOUBLE) / sa.n * 10000.0 + 0.5) / 10000.0 "
+    "AS containment "
+    "FROM cinter JOIN csizes sa ON sa.doc_id = doc_a "
+    "WHERE floor(CAST(i AS DOUBLE) / sa.n * 10000.0 + 0.5) / 10000.0 "
+    ">= 0.5",
+)
+
+
+# ---------------------------------------------------------------------------
 # Hybrid retrieval via Reciprocal Rank Fusion (operators/ranking.
 # rrf_fuse): BM25 lexical ranking fused with the quality-prior ranking
 # — rank-only fusion, no score calibration.  Both input rankings are
