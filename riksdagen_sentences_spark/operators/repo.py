@@ -185,3 +185,45 @@ def scd2_intervals(
         F.col(order_col).alias("valid_from"),
         (F.lead(order_col).over(w) - F.lit(1)).alias("valid_to"),
     )
+
+
+def symbol_definitions(
+    snapshot: DataFrame, pattern: str = r"def (\w+)\("
+) -> DataFrame:
+    """(repo, path, symbol) — defined-symbol triples extracted from
+    file content: the ``(file, defines, symbol)`` side of the code KG,
+    dual to :func:`import_edges`'s ``(file, imports, module)`` side.
+
+    Same plan shape as import_edges: one JVM regexp_extract_all + one
+    explode, a pure map stage at any corpus size."""
+    syms = F.explode(
+        F.regexp_extract_all(F.col("content"), F.lit(pattern), 1)
+    )
+    return snapshot.select("repo", "path", syms.alias("symbol"))
+
+
+def resolve_imports(
+    imports: DataFrame, provides: DataFrame
+) -> DataFrame:
+    """(repo, src_path, module, def_path) — link every import edge to
+    the file DEFINING that module within the same repo: the
+    KG-linking step that turns two extraction passes (imports,
+    definitions) into a file-level dependency graph.
+
+    Reference analog: token→lexeme linking joins extracted tokens to a
+    dictionary (/root/reference/models/sentences.py); here both sides
+    are extracted from the corpus itself.  Plan: ONE equi-join on
+    (repo, module).  The provides side is catalog-sized (one row per
+    defining file), so at 10^12-file scale this is a broadcast-able
+    dimension against the import fact table; self-imports are excluded
+    (a file does not depend on itself)."""
+    prov = provides.select(
+        "repo", "module", F.col("path").alias("def_path")
+    )
+    return (
+        imports.select(
+            "repo", F.col("path").alias("src_path"), "module"
+        )
+        .join(prov, ["repo", "module"])
+        .filter(F.col("src_path") != F.col("def_path"))
+    )

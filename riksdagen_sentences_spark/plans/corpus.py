@@ -7656,6 +7656,89 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Code-KG completion (operators/repo.py): symbol-definition triples
+# extracted from file content, then import→definition resolution into
+# a file-level dependency graph.  The synthetic history defines
+# function f<p> in file src/f<p>.<lang> and imports modules m<j>;
+# module m<k> is provided by the file defining symbol f<k>, so the
+# provides side derives from the definitions by prefix swap — in both
+# engines, under the oracle.
+# ---------------------------------------------------------------------------
+
+
+def _fh_imports_snapshot(spark: SparkSession):
+    from ..operators import repo as R
+    from ..sources.synth import files_history
+
+    return R.latest_snapshot(files_history(spark, imports=True))
+
+
+def _repo_symbol_definitions(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import repo as R
+
+    del sf
+    return R.symbol_definitions(_fh_imports_snapshot(spark)).select(
+        F.concat_ws(":", "repo", "path").alias("subj"),
+        F.lit("defines").alias("pred"),
+        F.col("symbol").alias("obj"),
+    )
+
+
+_register(
+    "repo_symbol_definitions",
+    _repo_symbol_definitions,
+    _FH_IMPORTS_SNAPSHOT_SQL
+    + """
+SELECT repo || ':' || path AS subj, 'defines' AS pred,
+       unnest(regexp_extract_all(content, 'def (\\w+)\\(', 1)) AS obj
+FROM snapi
+""",
+)
+
+
+def _repo_file_dependencies(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import repo as R
+
+    del sf
+    snap = _fh_imports_snapshot(spark)
+    provides = R.symbol_definitions(snap).select(
+        "repo",
+        "path",
+        F.concat(F.lit("m"), F.substring("symbol", 2, 100)).alias(
+            "module"
+        ),
+    )
+    return (
+        R.resolve_imports(R.import_edges(snap), provides)
+        .select(
+            F.concat_ws(":", "repo", "src_path").alias("subj"),
+            F.lit("dependsOn").alias("pred"),
+            F.concat_ws(":", "repo", "def_path").alias("obj"),
+        )
+        .dropDuplicates(["subj", "pred", "obj"])
+    )
+
+
+_register(
+    "repo_file_dependency_edges",
+    _repo_file_dependencies,
+    _FH_IMPORTS_SNAPSHOT_SQL
+    + """,
+defs AS (
+  SELECT repo, path,
+         'm' || substr(unnest(regexp_extract_all(content,
+             'def (\\w+)\\(', 1)), 2) AS module
+  FROM snapi)
+SELECT DISTINCT i.repo || ':' || i.path AS subj,
+       'dependsOn' AS pred,
+       d.repo || ':' || d.path AS obj
+FROM imp_edges i JOIN defs d
+  ON i.repo = d.repo AND i.module = d.module AND i.path <> d.path
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # Directional containment dedup (operators/neardup.containment_pairs):
 # |A ∩ B| / |A| catches excerpt/quotation inclusion that symmetric
 # Jaccard structurally misses.  A planted doc (-1) holding a word-

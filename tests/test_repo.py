@@ -130,3 +130,36 @@ def test_scd2_intervals_shape(spark):
         assert [s for s in spans if s[1] is None] == [spans[-1]]
         for (_, t0), (f1, _) in zip(spans, spans[1:]):
             assert f1 == t0 + 1
+
+
+def test_symbol_definitions_extracts_defs(spark):
+    fh = files_history(spark, imports=True)
+    snap = R.latest_snapshot(fh)
+    defs = R.symbol_definitions(snap)
+    rows = defs.collect()
+    # one def per file, symbol f<path_id>
+    assert len(rows) == 6 * 30
+    assert all(r.symbol == r.path.split("/f")[1].split(".")[0] is not None
+               or r.symbol.startswith("f") for r in rows)
+    sym = {(r.repo, r.path): r.symbol for r in rows}
+    assert sym[("repo_0", "src/f3.js")] == "f3"
+
+
+def test_resolve_imports_intra_repo_dependency(spark):
+    snap = R.latest_snapshot(files_history(spark, imports=True))
+    provides = R.symbol_definitions(snap).select(
+        "repo", "path",
+        F.concat(F.lit("m"), F.substring("symbol", 2, 100)).alias(
+            "module"),
+    )
+    deps = R.resolve_imports(R.import_edges(snap), provides)
+    rows = deps.collect()
+    # every file imports m<(3p+1)%30> and m<(7p+2)%30>; self-imports
+    # (p == (3p+1)%30 etc.) are excluded by the operator
+    assert all(r.src_path != r.def_path for r in rows)
+    got = {
+        (r.repo, r.src_path, r.module, r.def_path) for r in rows
+    }
+    # file f0 imports m1 (3*0+1) and m2 (7*0+2)
+    assert ("repo_0", "src/f0.py", "m1", "src/f1.rs") in got
+    assert ("repo_0", "src/f0.py", "m2", "src/f2.go") in got
