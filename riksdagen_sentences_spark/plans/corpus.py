@@ -7656,6 +7656,54 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Keyword-in-context concordance (pipeline.mention_contexts): one row
+# per mention OCCURRENCE with its ±2-word context — the evidence a KG
+# entity-linking disambiguator stores next to each extracted mention.
+# Position-aware, so the oracle rebuilds the n-gram positions from the
+# same single-space split and pins contexts verbatim.
+# ---------------------------------------------------------------------------
+
+
+def _mention_contexts(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.dims import gazetteer
+
+    return P.mention_contexts(
+        _sentences(spark, sf), gazetteer(spark), window=2
+    )
+
+
+_register(
+    "mention_contexts",
+    _mention_contexts,
+    f"WITH {sentence_ctes()}, "
+    "kw AS (SELECT sentence_id, "
+    "string_split(lower(cleaned), ' ') AS ws FROM sentences), "
+    "gz AS (SELECT label, ner_label, "
+    "len(string_split(label, ' ')) AS wd "
+    f"FROM {gazetteer_values()}), "
+    # positions come from a standalone table + theta join: DuckDB's
+    # binder hits an INTERNAL error when an unnest column in a CTE is
+    # consumed through SELECT * plus a filter referencing it
+    "kmx AS (SELECT MAX(len(ws)) AS m FROM kw), "
+    "kposs AS (SELECT unnest(range(1, (SELECT m FROM kmx) + 1)) "
+    "AS pos), "
+    "kcand AS (SELECT sentence_id, label, ner_label, wd, ws, pos "
+    "FROM kw CROSS JOIN gz "
+    "JOIN kposs ON pos <= len(ws) - wd + 1), "
+    "khits AS (SELECT * FROM kcand WHERE "
+    "array_to_string(list_slice(ws, pos, pos + wd - 1), ' ') = label) "
+    # coalesce: DuckDB's list_slice yields NULL (not []) for an empty
+    # window (start past end / zero length); Spark's slice+array_join
+    # yields '' — both mean "no context"
+    "SELECT sentence_id, label, ner_label, CAST(pos AS INT) AS pos, "
+    "coalesce(array_to_string(list_slice(ws, greatest(pos - 2, 1), "
+    "pos - 1), ' '), '') AS left_ctx, "
+    "coalesce(array_to_string(list_slice(ws, pos + wd, pos + wd + 1), "
+    "' '), '') AS right_ctx FROM khits",
+)
+
+
+# ---------------------------------------------------------------------------
 # Code-KG completion (operators/repo.py): symbol-definition triples
 # extracted from file content, then import→definition resolution into
 # a file-level dependency graph.  The synthetic history defines

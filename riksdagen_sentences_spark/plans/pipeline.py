@@ -768,3 +768,107 @@ def expand_skeletons(
         uuid5_col(F.lit("entity"), "label", "ner_label").alias("obj"),
     )
     return part_of, has_text, occurs, mentions
+
+
+def mention_contexts(
+    sentences_df: DataFrame,
+    gazetteer_df: DataFrame,
+    window: int = 2,
+    max_term_words: int | None = None,
+) -> DataFrame:
+    """(sentence_id, label, ner_label, pos, left_ctx, right_ctx) — one
+    keyword-in-context (concordance) row per mention OCCURRENCE: the
+    ±``window``-word context every entity-linking disambiguator and KG
+    evidence store wants next to each extracted mention.
+
+    Reference analog: the reference keeps only the (sentence, entity)
+    pair (models/entities.py) — occurrence positions and contexts are
+    lost at extraction time; here they are first-class columns.
+
+    Plan shape: the same word-n-gram explode as
+    :func:`mention_rows_join` but WITH the start position and the
+    sentence's word array carried through, so the broadcast dict join
+    directly yields slice-able contexts — one explode, ONE broadcast
+    hash join, zero extra shuffles.  Carrying the word array costs
+    O(words × max_term_words) array copies per sentence, the price of
+    position-aware output (the position-free matcher stays the cheap
+    path).  Whole-word semantics match ``mentions_col``: single-space
+    split, empty tokens kept, so space runs cannot bridge a phrase.
+    ``max_term_words`` defaults to the dictionary's own width via
+    :func:`gazetteer_max_words`; explicit under-width raises."""
+    width = gazetteer_max_words(gazetteer_df)
+    if max_term_words is None:
+        max_term_words = width
+    elif max_term_words < width:
+        raise ValueError(
+            f"max_term_words={max_term_words} is below the gazetteer's "
+            f"longest term ({width} words)"
+        )
+    words = F.split(F.lower(F.col("cleaned")), " ")
+
+    def _gram_structs(n: int):
+        return F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - n + 1),
+                lambda i: F.struct(
+                    F.array_join(F.slice(words, i, n), " ").alias(
+                        "term"
+                    ),
+                    i.alias("pos"),
+                    F.lit(n).alias("w"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast(
+                "array<struct<term:string,pos:int,w:int>>"
+            )
+        )
+
+    cand = sentences_df.select(
+        "sentence_id",
+        words.alias("__ws"),
+        F.explode(
+            F.flatten(
+                F.array(
+                    *[
+                        _gram_structs(n)
+                        for n in range(1, max_term_words + 1)
+                    ]
+                )
+            )
+        ).alias("g"),
+    ).select(
+        "sentence_id",
+        "__ws",
+        F.col("g.term").alias("term"),
+        F.col("g.pos").alias("pos"),
+        F.col("g.w").alias("w"),
+    )
+    dict_df = gazetteer_df.select(
+        F.lower("term").alias("term"), "ner_label"
+    ).dropDuplicates(["term", "ner_label"])
+    left_start = F.greatest(F.col("pos") - window, F.lit(1))
+    return (
+        cand.join(F.broadcast(dict_df), "term")
+        .select(
+            "sentence_id",
+            F.col("term").alias("label"),
+            "ner_label",
+            "pos",
+            F.array_join(
+                F.slice(
+                    F.col("__ws"), left_start, F.col("pos") - left_start
+                ),
+                " ",
+            ).alias("left_ctx"),
+            F.array_join(
+                F.slice(
+                    F.col("__ws"),
+                    F.col("pos") + F.col("w"),
+                    F.lit(window),
+                ),
+                " ",
+            ).alias("right_ctx"),
+        )
+    )
