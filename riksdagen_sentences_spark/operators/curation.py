@@ -564,3 +564,50 @@ def temperature_quotas(
             ).cast("bigint").alias("quota"),
         )
     )
+
+
+def doc_novelty(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_shingles, n_novel, novelty_r) — per document, the
+    fraction of its distinct shingles whose FIRST owner (minimum
+    doc_id) is this document: the corpus-redundancy accounting curve.
+    A crawl ordered by fetch time shows novelty decaying as the corpus
+    saturates; documents near 0 novelty are pure recombinations of
+    already-seen text — the aggregate view the per-pair dedup
+    operators (Jaccard/LSH/containment) cannot give.
+
+    Plan: one shingle explode (shared shape with the dedup suite), one
+    map-side-combined MIN per shingle, one join back, one grouped
+    count — no pairwise term anywhere, so this runs where the O(pairs)
+    operators cannot.  Docs with fewer than k words carry no shingles
+    and are absent, like every shingle-based operator here."""
+    from .neardup import _doc_shingles
+
+    sh = _doc_shingles(docs, text_col)
+    first = sh.groupBy("shingle").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                .otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (
+                F.floor(
+                    F.col("n_novel")
+                    / F.col("n_shingles")
+                    * 10000.0
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("novelty_r"),
+        )
+    )

@@ -7656,6 +7656,62 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Corpus-redundancy accounting: per-document shingle novelty (fraction
+# of a doc's shingles first seen in THIS doc, by min doc_id) and the
+# shingle document-frequency spectrum (how many shingles appear in k
+# docs — the histogram that picks the df-cap for the posting-list
+# joins).  Both are aggregate views no pairwise dedup operator gives.
+# ---------------------------------------------------------------------------
+
+
+def _doc_novelty_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.curation import doc_novelty
+
+    return doc_novelty(_read(spark, sf, "documents"))
+
+
+_register(
+    "doc_novelty_stats",
+    _doc_novelty_stats,
+    "WITH nsh AS (SELECT doc_id, "
+    f"unnest({_SHINGLES_SQL}) AS shingle FROM documents), "
+    "nfirst AS (SELECT shingle, MIN(doc_id) AS first_doc FROM nsh "
+    "GROUP BY shingle) "
+    "SELECT nsh.doc_id, COUNT(*) AS n_shingles, "
+    "CAST(SUM(CASE WHEN nfirst.first_doc = nsh.doc_id THEN 1 ELSE 0 "
+    "END) AS BIGINT) AS n_novel, "
+    "floor(SUM(CASE WHEN nfirst.first_doc = nsh.doc_id THEN 1 ELSE 0 "
+    "END) / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS novelty_r "
+    "FROM nsh JOIN nfirst ON nsh.shingle = nfirst.shingle "
+    "GROUP BY nsh.doc_id",
+)
+
+
+def _shingle_df_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    sh = ND._doc_shingles(
+        _read(spark, sf, "documents").select("doc_id", "text"), "text"
+    )
+    dfq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    return (
+        dfq.groupBy("df")
+        .agg(F.count("*").alias("n_shingles"))
+        .orderBy(F.col("df").asc())
+    )
+
+
+_register(
+    "shingle_df_histogram",
+    _shingle_df_histogram,
+    "WITH hsh AS (SELECT doc_id, "
+    f"unnest({_SHINGLES_SQL}) AS shingle FROM documents), "
+    "hdf AS (SELECT shingle, COUNT(*) AS df FROM hsh "
+    "GROUP BY shingle) "
+    "SELECT df, COUNT(*) AS n_shingles FROM hdf GROUP BY df "
+    "ORDER BY df ASC",
+)
+
+
+# ---------------------------------------------------------------------------
 # Keyword-in-context concordance (pipeline.mention_contexts): one row
 # per mention OCCURRENCE with its ±2-word context — the evidence a KG
 # entity-linking disambiguator stores next to each extracted mention.

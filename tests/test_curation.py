@@ -371,3 +371,22 @@ def test_temperature_quotas_sum_to_budget_and_flatten(spark):
     # proportional would give small 5/50; sqrt-temperature gives
     # 50*sqrt(100)/(sqrt(900)+sqrt(100)) = 12.5 -> 12 or 13
     assert got["small"] in (12, 13)
+
+
+def test_doc_novelty_first_owner_semantics(spark):
+    from riksdagen_sentences_spark.operators.curation import doc_novelty
+
+    base = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                      # 4 shingles, all first here
+            (2, base + " eta theta"),       # shares 4, adds 2 novel
+            (3, "unrelated words entirely fresh content"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in doc_novelty(docs).collect()}
+    assert out[1].novelty_r == 1.0 and out[1].n_shingles == 4
+    assert out[2].n_shingles == 6 and out[2].n_novel == 2
+    assert out[2].novelty_r == round(2 / 6, 4)
+    assert out[3].novelty_r == 1.0
