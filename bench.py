@@ -379,6 +379,39 @@ def main() -> None:
 
     timed("bpe_merges_8", q_bpe)
 
+    # q13: N-Triples export of the full six-predicate graph (round 5e)
+    # - serialization must add ~zero cost on top of the graph build
+    # (map-only); the artifact pins the line count so the timing can't
+    # silently measure an empty frame.
+    def q_ntriples():
+        from riksdagen_sentences_spark.operators.rdf import to_ntriples
+
+        extras["ntriples_lines"] = to_ntriples(
+            P.triples(spark, docs, cache=True)
+        ).count()
+        spark.catalog.clearCache()
+
+    timed("rdf_ntriples_export", q_ntriples, repeats=2)
+
+    # q14: property-chain inference over the extracted graph (round
+    # 5e): docMentions = partOf⁻ ∘ mentions, one middle-key join.
+    def q_infer():
+        from riksdagen_sentences_spark.operators.infer import (
+            invert,
+            materialize_rule,
+        )
+
+        base = P.sentence_base(docs).persist()
+        sents = P.sentences(base)
+        extras["inferred_doc_mentions_n"] = materialize_rule(
+            invert(P.part_of_edges(sents)),
+            P.mention_edges(sents),
+            "docMentions",
+        ).count()
+        spark.catalog.clearCache()
+
+    timed("infer_doc_mentions", q_infer, repeats=2)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
