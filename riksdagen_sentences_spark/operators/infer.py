@@ -56,3 +56,65 @@ def materialize_rule(
     return compose(r1, r2).select(
         "subj", F.lit(entailed_pred).alias("pred"), "obj"
     )
+
+
+def transitive_closure(
+    edges: DataFrame, max_rounds: int = 6
+) -> DataFrame:
+    """All distinct (subj, obj) pairs connected by a DIRECTED path of
+    length ≥ 1: the reachability relation — transitive-predicate
+    materialization (partOf*, dependsOn*), the fixpoint counterpart of
+    the single-step :func:`compose`.
+
+    Iterative DOUBLING, not one-step expansion: round r covers paths
+    up to length 2^r, so ``max_rounds`` = ⌈log₂(diameter)⌉ suffices —
+    the O(log n) round bound every distributed closure uses (same
+    contract as graph.connected_components_contraction).  Each round
+    is one self-join + distinct, eagerly localCheckpoint'ed so the
+    plan stays flat; the loop exits early when a round adds no pairs
+    (monotone growth, so equal counts == fixpoint — one cheap count
+    job per round against a checkpointed frame).
+
+    Scale: the closure of a dense graph is O(n²) rows — materializing
+    it is the caller's decision; for hub-heavy graphs prefer on-demand
+    bfs_depths from the nodes you actually query."""
+    cur = (
+        edges.select("subj", "obj")
+        .filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())
+        .dropDuplicates(["subj", "obj"])
+        .localCheckpoint(eager=True)
+    )
+    n_cur = cur.count()
+    for _ in range(max_rounds):
+        x = cur.select(
+            F.col("subj").alias("__a"), F.col("obj").alias("__m")
+        )
+        y = cur.select(
+            F.col("subj").alias("__m"), F.col("obj").alias("__b")
+        )
+        comp = x.join(y, "__m").select(
+            F.col("__a").alias("subj"), F.col("__b").alias("obj")
+        )
+        nxt = (
+            cur.unionByName(comp)
+            .dropDuplicates(["subj", "obj"])
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        cur = nxt
+        if n_nxt == n_cur:
+            break
+        n_cur = n_nxt
+    return cur
+
+
+def cycle_nodes(edges: DataFrame, max_rounds: int = 6) -> DataFrame:
+    """(node) — nodes lying on a directed cycle: self-reachable under
+    the transitive closure.  The dependency-hygiene probe for the code
+    KG (circular imports) and the guard a DAG-expecting consumer runs
+    before topological processing."""
+    return (
+        transitive_closure(edges, max_rounds=max_rounds)
+        .filter(F.col("subj") == F.col("obj"))
+        .select(F.col("subj").alias("node"))
+    )

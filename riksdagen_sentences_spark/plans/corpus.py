@@ -7656,6 +7656,75 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Reachability over the code KG (operators/infer.transitive_closure):
+# dependsOn* materialized by O(log n) iterative doubling with a
+# fixpoint early-exit, and its cycle probe (self-reachable files =
+# circular imports).  The oracle is the genuine recursive CTE over the
+# same import→definition resolution, so the hash pins extraction,
+# resolution AND the closure algebra.
+# ---------------------------------------------------------------------------
+
+_DEP_EDGE_CTES = (
+    """,
+defs AS (
+  SELECT repo, path,
+         'm' || substr(unnest(regexp_extract_all(content,
+             'def (\\w+)\\(', 1)), 2) AS module
+  FROM snapi),
+dep AS (
+  SELECT DISTINCT i.repo || ':' || i.path AS subj,
+         d.repo || ':' || d.path AS obj
+  FROM imp_edges i JOIN defs d
+    ON i.repo = d.repo AND i.module = d.module AND i.path <> d.path),
+closure(subj, obj) AS (
+  SELECT subj, obj FROM dep
+  UNION
+  SELECT c.subj, dep.obj FROM closure c JOIN dep ON c.obj = dep.subj)
+"""
+)
+
+_FH_IMPORTS_RECURSIVE_SQL = _FH_IMPORTS_SNAPSHOT_SQL.replace(
+    "WITH fhi", "WITH RECURSIVE fhi", 1
+).rstrip()
+
+
+def _dep_edge_frame(spark: SparkSession) -> DataFrame:
+    return _repo_file_dependencies(spark, "").select("subj", "obj")
+
+
+def _repo_transitive_deps(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.infer import transitive_closure
+
+    del sf
+    return transitive_closure(_dep_edge_frame(spark))
+
+
+_register(
+    "repo_transitive_dependencies",
+    _repo_transitive_deps,
+    _FH_IMPORTS_RECURSIVE_SQL
+    + _DEP_EDGE_CTES
+    + "SELECT subj, obj FROM closure",
+)
+
+
+def _repo_cycle_nodes(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.infer import cycle_nodes
+
+    del sf
+    return cycle_nodes(_dep_edge_frame(spark))
+
+
+_register(
+    "repo_dependency_cycle_nodes",
+    _repo_cycle_nodes,
+    _FH_IMPORTS_RECURSIVE_SQL
+    + _DEP_EDGE_CTES
+    + "SELECT subj AS node FROM closure WHERE subj = obj",
+)
+
+
+# ---------------------------------------------------------------------------
 # Corpus-redundancy accounting: per-document shingle novelty (fraction
 # of a doc's shingles first seen in THIS doc, by min doc_id) and the
 # shingle document-frequency spectrum (how many shingles appear in k

@@ -48,3 +48,33 @@ def test_materialize_rule_tags_predicate(spark):
         ("d1", "docMentions", "e1")
     ]
     assert out[0].__fields__ == ["subj", "pred", "obj"]
+
+
+def test_transitive_closure_chain_and_fixpoint(spark):
+    from riksdagen_sentences_spark.operators.infer import (
+        transitive_closure,
+    )
+
+    # chain a->b->c->d: closure adds (a,c),(a,d),(b,d)
+    e = _rel(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    got = {(r.subj, r.obj) for r in transitive_closure(e).collect()}
+    assert got == {
+        ("a", "b"), ("b", "c"), ("c", "d"),
+        ("a", "c"), ("b", "d"), ("a", "d"),
+    }
+    # doubling depth: a 9-node path closes within 4 rounds (2^4 >= 8)
+    path = [(f"n{i}", f"n{i+1}") for i in range(8)]
+    full = transitive_closure(_rel(spark, path), max_rounds=4)
+    assert full.count() == 8 * 9 // 2
+
+
+def test_cycle_nodes_detects_only_cycle_members(spark):
+    from riksdagen_sentences_spark.operators.infer import cycle_nodes
+
+    # cycle a->b->c->a plus a tail c->t (t not on a cycle)
+    e = _rel(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("c", "t")])
+    got = {r.node for r in cycle_nodes(e).collect()}
+    assert got == {"a", "b", "c"}
+    # a DAG has no cycle nodes
+    dag = _rel(spark, [("a", "b"), ("b", "c")])
+    assert cycle_nodes(dag).count() == 0
