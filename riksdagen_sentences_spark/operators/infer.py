@@ -118,3 +118,41 @@ def cycle_nodes(edges: DataFrame, max_rounds: int = 6) -> DataFrame:
         .filter(F.col("subj") == F.col("obj"))
         .select(F.col("subj").alias("node"))
     )
+
+
+def scc_components(edges: DataFrame, max_rounds: int = 6) -> DataFrame:
+    """(node, scc_id) — strongly connected components labeled by the
+    minimum member node: condensing the cycle structure the
+    DAG-expecting consumers need (a topological pass runs on the
+    condensation, never the raw graph).
+
+    Derivation is closure-based: a and b share an SCC iff each reaches
+    the other, so one self-join of the transitive closure against its
+    transpose yields the mutual-reachability pairs, and the SCC label
+    is min(node, min(mutual partners)) — one aggregate.  Honest bound:
+    this materializes the closure (O(n·reach) rows), the right trade
+    for catalog-scale dependency graphs; corpus-scale graphs want the
+    forward/backward-BFS condensation instead (graph.bfs_depths is the
+    building block).  Singleton nodes (no cycle) are their own SCC."""
+    clo = transitive_closure(edges, max_rounds=max_rounds)
+    rev = clo.select(
+        F.col("obj").alias("subj"), F.col("subj").alias("obj")
+    )
+    mutual = clo.join(rev, ["subj", "obj"]).select(
+        F.col("subj").alias("node"), F.col("obj").alias("partner")
+    )
+    nodes = (
+        edges.select(F.col("subj").alias("node"))
+        .unionByName(edges.select(F.col("obj").alias("node")))
+        .dropDuplicates(["node"])
+    )
+    lab = mutual.groupBy("node").agg(
+        F.min("partner").alias("__min_partner")
+    )
+    return nodes.join(lab, "node", "left").select(
+        "node",
+        F.least(
+            F.col("node"),
+            F.coalesce(F.col("__min_partner"), F.col("node")),
+        ).alias("scc_id"),
+    )

@@ -7724,6 +7724,30 @@ _register(
 )
 
 
+def _repo_scc(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.infer import scc_components
+
+    del sf
+    return scc_components(_dep_edge_frame(spark))
+
+
+_register(
+    "repo_scc_components",
+    _repo_scc,
+    _FH_IMPORTS_RECURSIVE_SQL
+    + _DEP_EDGE_CTES
+    + """,
+mut AS (SELECT c1.subj AS node, c1.obj AS partner FROM closure c1
+        JOIN closure c2 ON c1.subj = c2.obj AND c1.obj = c2.subj),
+nds AS (SELECT DISTINCT node FROM
+        (SELECT subj AS node FROM dep
+         UNION ALL SELECT obj AS node FROM dep)),
+lab AS (SELECT node, MIN(partner) AS mp FROM mut GROUP BY node)
+SELECT nds.node, least(nds.node, coalesce(lab.mp, nds.node)) AS scc_id
+FROM nds LEFT JOIN lab ON nds.node = lab.node""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Corpus-redundancy accounting: per-document shingle novelty (fraction
 # of a doc's shingles first seen in THIS doc, by min doc_id) and the

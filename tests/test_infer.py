@@ -78,3 +78,20 @@ def test_cycle_nodes_detects_only_cycle_members(spark):
     # a DAG has no cycle nodes
     dag = _rel(spark, [("a", "b"), ("b", "c")])
     assert cycle_nodes(dag).count() == 0
+
+
+def test_scc_components_labels(spark):
+    from riksdagen_sentences_spark.operators.infer import scc_components
+
+    # cycle {a,b,c}, tail t, disjoint 2-cycle {x,y}, singleton chain s->a
+    e = _rel(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "t"),
+         ("x", "y"), ("y", "x"), ("s", "a")],
+    )
+    got = {r.node: r.scc_id for r in scc_components(e).collect()}
+    assert got == {
+        "a": "a", "b": "a", "c": "a",
+        "t": "t", "s": "s",
+        "x": "x", "y": "x",
+    }
