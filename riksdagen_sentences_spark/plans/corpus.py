@@ -7989,26 +7989,47 @@ _register(
 # ---------------------------------------------------------------------------
 
 
+_RRF_LIST_M = 100  # fuse retrieved top-M lists, never full-corpus ranks
+
+
 def _hybrid_rrf_top20(spark: SparkSession, sf: str) -> DataFrame:
+    """Each input list is FIRST bounded to its top-M by orderBy+limit
+    (TakeOrderedAndProject — a per-partition heap + driver merge, no
+    global sort), and only the M-row frame gets the row_number window:
+    fusing retrieved lists is both the production RRF semantics and
+    the shape that survives 100 TB (an unbounded global row_number is
+    a single-task sort)."""
     from ..operators.ranking import rrf_fuse
 
     docs = _read(spark, sf, "documents")
-    bm25 = bm25_scores(docs, _BM25_TERMS).select(
-        "doc",
-        F.row_number()
-        .over(
-            Window.orderBy(F.col("score_r").desc(), F.col("doc").asc())
+    bm25 = (
+        bm25_scores(docs, _BM25_TERMS)
+        .orderBy(F.col("score_r").desc(), F.col("doc").asc())
+        .limit(_RRF_LIST_M)
+        .select(
+            "doc",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("score_r").desc(), F.col("doc").asc()
+                )
+            )
+            .alias("rnk"),
         )
-        .alias("rnk"),
     )
-    qual = docs.select(
-        F.col("doc_id").alias("doc"),
-        TS.quality_score_col(F.col("text")).alias("q"),
-    ).select(
-        "doc",
-        F.row_number()
-        .over(Window.orderBy(F.col("q").desc(), F.col("doc").asc()))
-        .alias("rnk"),
+    qual = (
+        docs.select(
+            F.col("doc_id").alias("doc"),
+            TS.quality_score_col(F.col("text")).alias("q"),
+        )
+        .orderBy(F.col("q").desc(), F.col("doc").asc())
+        .limit(_RRF_LIST_M)
+        .select(
+            "doc",
+            F.row_number()
+            .over(Window.orderBy(F.col("q").desc(), F.col("doc").asc()))
+            .alias("rnk"),
+        )
     )
     fused = rrf_fuse([bm25, qual], k=60)
     return (
@@ -8041,10 +8062,14 @@ _register(
     "bsc AS (SELECT doc, floor(SUM(s) * 10000.0 + 0.5) / 10000.0 "
     "AS score_r FROM prt GROUP BY doc), "
     "brk AS (SELECT doc, row_number() OVER "
-    "(ORDER BY score_r DESC, doc ASC) AS rnk FROM bsc), "
-    f"qrk AS (SELECT doc_id AS doc, row_number() OVER "
-    f"(ORDER BY {_QUALITY_SQL} DESC, doc_id ASC) AS rnk "
-    "FROM documents), "
+    "(ORDER BY score_r DESC, doc ASC) AS rnk FROM "
+    "(SELECT * FROM bsc ORDER BY score_r DESC, doc ASC "
+    f"LIMIT {_RRF_LIST_M})), "
+    "qsc AS (SELECT doc_id AS doc, "
+    f"{_QUALITY_SQL} AS q FROM documents "
+    f"ORDER BY q DESC, doc_id ASC LIMIT {_RRF_LIST_M}), "
+    "qrk AS (SELECT doc, row_number() OVER "
+    "(ORDER BY q DESC, doc ASC) AS rnk FROM qsc), "
     "uni AS (SELECT doc, 1.0 / (60.0 + rnk) AS c FROM brk "
     "UNION ALL SELECT doc, 1.0 / (60.0 + rnk) FROM qrk) "
     "SELECT doc, CAST(COUNT(*) AS INT) AS n_lists, "
