@@ -611,3 +611,51 @@ def doc_novelty(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("novelty_r"),
         )
     )
+
+
+#: dyadic uniform modulus: 2^30 keeps (fold % M + 0.5) / M exactly
+#: representable, so u is bit-identical in any IEEE engine
+_WS_MOD = 1 << 30
+
+
+def weighted_sample_key_col(
+    id_col: Column, weight_col: Column, salt: str = "wsamp"
+) -> Column:
+    """Efraimidis–Spirakis (2006) A-Res key u^(1/w): taking the top-k
+    keys draws a weighted sample WITHOUT replacement where inclusion
+    probability follows the weights — the one-pass, merge-able,
+    coordination-free way to downsample a 100 TB corpus by token
+    count / quality weight (a rand()-based pass is partitioning-
+    dependent and unreproducible).
+
+    u is md5-derived and DYADIC ((fold % 2^30 + 0.5) / 2^30), so it is
+    bit-identical across engines; pow is the only libm call, and
+    consumers rank on an 8dp-rounded key with the id as tie-break, so
+    a last-ulp pow divergence cannot change the selected set."""
+    fold = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), id_col.cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = ((fold % F.lit(_WS_MOD)).cast("double") + F.lit(0.5)) / F.lit(
+        float(_WS_MOD)
+    )
+    return F.pow(u, F.lit(1.0) / weight_col.cast("double"))
+
+
+def weighted_sample_key_sql(
+    id_expr: str, weight_expr: str, salt: str = "wsamp"
+) -> str:
+    """DuckDB twin of :func:`weighted_sample_key_col`."""
+    fold = (
+        f"CAST(concat('0x', substr(md5('{salt}:' || "
+        f"CAST({id_expr} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+    return (
+        f"pow((CAST({fold} % {_WS_MOD} AS DOUBLE) + 0.5) / "
+        f"{float(_WS_MOD)}, 1.0 / CAST({weight_expr} AS DOUBLE))"
+    )

@@ -7656,6 +7656,44 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Weighted sampling without replacement (curation.weighted_sample_key
+# _col): Efraimidis–Spirakis A-Res keys over a dyadic md5 uniform —
+# top-k of the key IS the weighted sample, one-pass and engine/
+# cluster-size reproducible.  Weighted here by n_chars (longer docs
+# proportionally likelier), the token-budget downsampling shape.
+# ---------------------------------------------------------------------------
+
+
+def _weighted_doc_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.curation import weighted_sample_key_col
+
+    key = weighted_sample_key_col(F.col("doc_id"), F.col("n_chars"))
+    return (
+        _read(spark, sf, "documents")
+        .select(
+            "doc_id",
+            "n_chars",
+            (F.floor(key * 100000000.0 + F.lit(0.5)) / 100000000.0)
+            .alias("key_r"),
+        )
+        .orderBy(F.col("key_r").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+from ..operators.curation import weighted_sample_key_sql  # noqa: E402
+
+_register(
+    "weighted_doc_sample_top20",
+    _weighted_doc_sample,
+    "SELECT doc_id, n_chars, "
+    f"floor({weighted_sample_key_sql('doc_id', 'n_chars')} "
+    "* 100000000.0 + 0.5) / 100000000.0 AS key_r "
+    "FROM documents ORDER BY key_r DESC, doc_id ASC LIMIT 20",
+)
+
+
+# ---------------------------------------------------------------------------
 # Reachability over the code KG (operators/infer.transitive_closure):
 # dependsOn* materialized by O(log n) iterative doubling with a
 # fixpoint early-exit, and its cycle probe (self-reachable files =

@@ -390,3 +390,36 @@ def test_doc_novelty_first_owner_semantics(spark):
     assert out[2].n_shingles == 6 and out[2].n_novel == 2
     assert out[2].novelty_r == round(2 / 6, 4)
     assert out[3].novelty_r == 1.0
+
+
+def test_weighted_sample_keys_follow_weights(spark):
+    from pyspark.sql import functions as F
+
+    from riksdagen_sentences_spark.operators.curation import (
+        weighted_sample_key_col,
+    )
+
+    # two strata: ids 0..199 weight 100, ids 200..399 weight 1.
+    # E-S keys u^(1/w): heavy items dominate any top-k overwhelmingly.
+    rows = [(i, 100 if i < 200 else 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "id bigint, w int")
+    keyed = df.select(
+        "id", weighted_sample_key_col(F.col("id"), F.col("w")).alias("k")
+    )
+    top = [r.id for r in keyed.orderBy(F.col("k").desc()).limit(50).collect()]
+    heavy = sum(1 for i in top if i < 200)
+    assert heavy >= 45  # weight-100 items dominate
+    # determinism: same seed, same keys
+    again = [
+        r.id for r in keyed.orderBy(F.col("k").desc()).limit(50).collect()
+    ]
+    assert top == again
+    # different salt -> different sample
+    other = df.select(
+        "id",
+        weighted_sample_key_col(F.col("id"), F.col("w"), salt="v2").alias(
+            "k"
+        ),
+    )
+    alt = [r.id for r in other.orderBy(F.col("k").desc()).limit(50).collect()]
+    assert alt != top
