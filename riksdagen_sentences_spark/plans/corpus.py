@@ -7656,6 +7656,97 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Declared-vs-detected language confusion matrix: the ingest-quality
+# audit for a multilingual corpus — which declared labels the engine's
+# detector disagrees with, and toward what.  One grouped count over
+# the same single-pass JVM langid the pipeline uses (oracle: the
+# generated SQL twin).
+# ---------------------------------------------------------------------------
+
+
+def _doc_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    lang, _ = C.langid_cols(C.clean_sentence_col(F.col("text")))
+    return (
+        _read(spark, sf, "documents")
+        .select(
+            F.col("lang").alias("declared_lang"),
+            lang.alias("detected_lang"),
+        )
+        .groupBy("declared_lang", "detected_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_register(
+    "doc_lang_confusion_matrix",
+    _doc_lang_confusion,
+    f"""
+WITH c AS (SELECT lang AS declared_lang,
+           {sql_clean_sentence('text')} AS cleaned FROM documents)
+SELECT declared_lang, {sql_langid_select('cleaned')[0]} AS detected_lang,
+       COUNT(*) AS n
+FROM c GROUP BY 1, 2
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Hourly anomaly z-scores per event type: flag hours whose event count
+# deviates ≥ 2σ from that type's hourly mean — the monitoring query
+# every event pipeline runs.  Counts are exact integers; mean/stddev
+# are single-pass aggregates over them, z rounded at 4dp before the
+# flag so the threshold compare is engine-portable.
+# ---------------------------------------------------------------------------
+
+
+def _event_hourly_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.temporal import _idiv, ntz_micros
+
+    hours = (
+        _read(spark, sf, "events")
+        .select(
+            "event_type",
+            _idiv(ntz_micros(F.col("ts")), 3_600_000_000).alias(
+                "hour_id"
+            ),
+        )
+        .groupBy("event_type", "hour_id")
+        .agg(F.count("*").alias("n"))
+    )
+    stats = hours.groupBy("event_type").agg(
+        F.avg("n").alias("mu"),
+        F.stddev_samp("n").alias("sd"),
+        F.count("*").alias("n_hours"),
+    )
+    r4 = lambda c: F.floor(c * 10000.0 + F.lit(0.5)) / 10000.0  # noqa: E731
+    z = r4((F.col("n") - F.col("mu")) / F.col("sd"))
+    return (
+        hours.join(stats, "event_type")
+        .filter(F.col("sd") > 0)
+        .select("event_type", "hour_id", "n", z.alias("z_r"))
+        .filter(F.abs(F.col("z_r")) >= 2.0)
+        .orderBy("event_type", "hour_id")
+    )
+
+
+_register(
+    "event_hourly_anomalies",
+    _event_hourly_anomalies,
+    "WITH eh AS (SELECT event_type, "
+    "epoch_us(ts) // 3600000000 AS hour_id, COUNT(*) AS n "
+    "FROM events GROUP BY 1, 2), "
+    "est AS (SELECT event_type, AVG(n) AS mu, STDDEV_SAMP(n) AS sd "
+    "FROM eh GROUP BY event_type) "
+    "SELECT eh.event_type, eh.hour_id, eh.n, "
+    "floor((eh.n - est.mu) / est.sd * 10000.0 + 0.5) / 10000.0 AS z_r "
+    "FROM eh JOIN est ON eh.event_type = est.event_type "
+    "WHERE est.sd > 0 AND abs(floor((eh.n - est.mu) / est.sd "
+    "* 10000.0 + 0.5) / 10000.0) >= 2.0 "
+    "ORDER BY eh.event_type, eh.hour_id",
+)
+
+
+# ---------------------------------------------------------------------------
 # Weighted sampling without replacement (curation.weighted_sample_key
 # _col): Efraimidis–Spirakis A-Res keys over a dyadic md5 uniform —
 # top-k of the key IS the weighted sample, one-pass and engine/
