@@ -87,8 +87,10 @@ def doc_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document stats frame: token counts, ratios, quality,
     fingerprint, detected language."""
     text = F.col(text_col)
-    lang, score = C.langid_cols(C.clean_sentence_col(text))
-    return docs.select(
+    # inline(array(struct)) = Generate barrier: the langid tree
+    # evaluates once per row instead of once per referenced field
+    # (same trick as pipeline.sentence_base)
+    with_ls = docs.select(
         F.col("doc_id"),
         ws_token_count_col(text).alias("ws_tokens"),
         bpe_token_count_col(text).alias("bpe_tokens"),
@@ -96,6 +98,18 @@ def doc_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         stopword_ratio_col(text).alias("stopword_ratio"),
         quality_score_col(text).alias("quality"),
         fingerprint_col(text).alias("fingerprint"),
-        lang.alias("detected_lang"),
-        score.alias("lang_score"),
+        F.inline(
+            F.array(C.langid_struct_col(C.clean_sentence_col(text)))
+        ),
+    )
+    return with_ls.select(
+        "doc_id",
+        "ws_tokens",
+        "bpe_tokens",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality",
+        "fingerprint",
+        F.col("lang").alias("detected_lang"),
+        F.col("score").alias("lang_score"),
     )

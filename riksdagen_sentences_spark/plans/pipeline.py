@@ -144,8 +144,15 @@ def sentence_base(
             "score", F.col("__ls.score")
         ).drop("__ls")
     else:
-        lang, score = C.langid_cols(F.col("cleaned"))
-        base = base.withColumn("lang", lang).withColumn("score", score)
+        # inline(array(struct)) explodes the 1-element struct array into
+        # the lang/score columns through a Generate node - an optimizer
+        # barrier CollapseProject cannot cross, so the (interpreted-HOF)
+        # langid tree evaluates ONCE per row.  Plain field extraction
+        # (langid_cols) inlines the whole tree per referenced field -
+        # ~25% slower base materialization at 100k docs.
+        base = base.select(
+            "*", F.inline(F.array(C.langid_struct_col(F.col("cleaned"))))
+        )
     return base
 
 
