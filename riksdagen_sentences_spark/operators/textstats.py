@@ -35,10 +35,20 @@ def bpe_token_count_col(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(BPE_RE), 0))
 
 
+# PUNCT_COUNT_RE's literal character list (four ASCII ranges): counting
+# matches of a single-char class == length drop after translate-removal,
+# which skips the regex engine AND the per-row match-array allocation
+_PUNCT_CHARS = "".join(
+    chr(c)
+    for lo, hi in ((0x21, 0x2F), (0x3A, 0x40), (0x5B, 0x60), (0x7B, 0x7E))
+    for c in range(lo, hi + 1)
+)
+
+
 def punct_ratio_col(text: Column) -> Column:
     """#punctuation chars / #chars, floor-rounded to 4 dp."""
     n = F.length(text)
-    p = F.size(F.regexp_extract_all(text, F.lit(PUNCT_COUNT_RE), 0))
+    p = n - F.length(F.translate(text, _PUNCT_CHARS, ""))
     raw = F.when(n == 0, F.lit(0.0)).otherwise(
         p.cast("double") / n.cast("double")
     )

@@ -79,6 +79,22 @@ def _committed_batches(spark: SparkSession, store_dir: str) -> list[str]:
     return sorted(all_ids - superseded)
 
 
+def _empty_table(spark: SparkSession, schema: str) -> DataFrame:
+    """Zero-row frame with ``schema`` built from ``spark.range(0)`` -
+    a pure-JVM LocalRelation leaf.  ``createDataFrame([], ...)`` builds
+    a Python-RDD-backed plan whose every consumer pays a Python-runner
+    stage (measured ~4-5 s PER parquet write of even a 1-row such
+    frame); a JVM empty relation also lets PropagateEmptyRelation
+    delete the anti-joins against it outright on the seed batch."""
+    cols = [
+        F.lit(None).cast(t).alias(n)
+        for n, t in (
+            f.strip().split(" ", 1) for f in schema.split(",")
+        )
+    ]
+    return spark.range(0).select(*cols)
+
+
 def _read_or_empty(
     spark: SparkSession,
     store_dir: str,
@@ -93,7 +109,7 @@ def _read_or_empty(
     try:
         df = spark.read.parquet(f"{store_dir}/{name}")
     except Exception:
-        return spark.createDataFrame([], _EMPTY_SCHEMAS[name])
+        return _empty_table(spark, _EMPTY_SCHEMAS[name])
     if "batch" not in df.columns:
         return df
     return df.filter(
@@ -136,9 +152,18 @@ def _write_commit(
     to every reader the instant this marker lands.  ``gaz_sha`` records
     the dictionary fingerprint the batch's skeletons were computed
     under (empty for markers that add no skeletons)."""
-    spark.createDataFrame(
-        [(n_files, replaces or [], gaz_sha)],
-        "files_submitted bigint, replaces array<string>, gaz_sha string",
+    # range(1)+literals, NOT createDataFrame: a Python-RDD-backed 1-row
+    # frame pays a Python-runner stage per write (~4-5 s measured); the
+    # JVM literal row writes in ~0.15 s
+    rep = (
+        F.array(*[F.lit(b) for b in replaces])
+        if replaces
+        else F.array().cast("array<string>")
+    )
+    spark.range(1).select(
+        F.lit(n_files).cast("bigint").alias("files_submitted"),
+        rep.alias("replaces"),
+        F.lit(gaz_sha).alias("gaz_sha"),
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{store_dir}/commits/batch={batch}"
     )
@@ -259,6 +284,8 @@ def update_graph(
             "batch_id": batch,
         }
 
+    tracked: list[DataFrame] = []
+    writes: list[tuple[str, DataFrame]] = []
     if n_fresh_contents > 0:
         sha = F.sha2(F.col("content"), 256)
         # semi-join BEFORE the dedup: in the steady state most content
@@ -271,22 +298,42 @@ def update_graph(
             .join(fresh_shas, "content_sha", "left_semi")
             .dropDuplicates(["content_sha"])
         )
-        tracked: list[DataFrame] = []
         skel = P.content_skeletons(
             spark, reps, gazetteer=gazetteer, tracked=tracked
         )
-        # skeletons first, ledgers next, marker strictly last: a crash
-        # anywhere before the marker leaves rows no reader can see, and
-        # the retry overwrites exactly those directories
-        for name in SKEL_TABLES:
-            _write_batch(skel[name], store_dir, name, batch)
-        # the skeleton caches exist only to share work across the four
-        # writes above; a long-running updater applying many batches
-        # must not accumulate them
+        # materialize the shared cut-points (base, sents, toks) ONCE
+        # before the concurrent writes below: persist() does not
+        # de-duplicate in-flight computation, so two writes racing to
+        # the same cold cache would each run the kernel chain
         for df in tracked:
-            df.unpersist()
-    _write_batch(fresh_shas, store_dir, "contents_ledger", batch)
-    _write_batch(fresh_files, store_dir, "files_ledger", batch)
+            df.count()
+        writes.extend((name, skel[name]) for name in SKEL_TABLES)
+    writes.append(("contents_ledger", fresh_shas))
+    writes.append(("files_ledger", fresh_files))
+
+    # all batch writes are independent jobs over already-materialized
+    # caches and are invisible until the marker: run them from a small
+    # thread pool so each job's task tail back-fills with the next
+    # job's tasks instead of idling the cluster (marker strictly LAST,
+    # crash-safety unchanged - a crash before the marker leaves rows no
+    # reader can see, and the retry overwrites exactly these
+    # directories)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _do_write(item: tuple[str, DataFrame]) -> None:
+        name, df = item
+        spark.sparkContext.setJobDescription(
+            f"delta batch={batch} write {name}"
+        )
+        _write_batch(df, store_dir, name, batch)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(_do_write, writes))
+    # the skeleton caches exist only to share work across the writes
+    # above; a long-running updater applying many batches must not
+    # accumulate them
+    for df in tracked:
+        df.unpersist()
     _write_commit(
         spark,
         store_dir,
@@ -338,7 +385,14 @@ def assemble_graph(
         for name in SKEL_TABLES
     }
     mapping = _read_or_empty(spark, store_dir, "files_ledger", committed)
-    part_of, has_text, occurs, mentions = P.expand_skeletons(skel, mapping)
+    # one footer-cheap count over the at-rest ledger picks the
+    # expansion-join strategy (broadcast below the row cap - see
+    # pipeline.BROADCAST_MAPPING_MAX_ROWS - planner default above)
+    part_of, has_text, occurs, mentions = P.expand_skeletons(
+        skel,
+        mapping,
+        broadcast_mapping=mapping.count() <= P.BROADCAST_MAPPING_MAX_ROWS,
+    )
     return (
         part_of.unionByName(has_text)
         .unionByName(occurs)

@@ -133,11 +133,22 @@ def sentence_base(
         spread_input(docs, "document_id"),
         use_udf_sentenize=use_udf_sentenize,
     )
-    base = (
-        sent.withColumn("cleaned", C.clean_sentence_col(F.col("text")))
-        .withColumn("word_count", C.clean_word_count_col(F.col("cleaned")))
-        .filter(F.col("word_count") >= 2)
+    # inline(transform(array(clean), c -> struct(c, wc(c)))) evaluates
+    # the (interpreted-HOF) cleaning tree ONCE per row: as plain
+    # withColumns, the pushed-down word_count filter inlines the whole
+    # `cleaned` tree a second time below the projection that also
+    # computes it (the Generate node is a barrier; the lambda variable
+    # makes word_count an O(1) reference to the already-cleaned value)
+    cw = F.transform(
+        F.array(C.clean_sentence_col(F.col("text"))),
+        lambda c: F.struct(
+            c.alias("cleaned"),
+            C.clean_word_count_col(c).alias("word_count"),
+        ),
     )
+    base = sent.select(
+        "document_id", "sent_idx", "text", F.inline(cw)
+    ).filter(F.col("word_count") >= 2)
     if use_udf_langid:
         base = base.withColumn("__ls", U.langid_udf(F.col("cleaned")))
         base = base.withColumn("lang", F.col("__ls.lang")).withColumn(
@@ -620,10 +631,16 @@ def triples_dedup(
     as ``triples`` emits them after its global dedup.
     """
     mapping = files_mapping(files)
+    bc_mapping: bool | None = None
     if cache:
         # consumed by three expansion joins; recomputing it would
         # re-hash every file's full content per consumer
         mapping = mapping.persist()
+        # one count over the (narrow, persisted) mapping decides the
+        # expansion-join strategy: broadcast below the row cap, planner
+        # default above it (the count also materializes the cache the
+        # first join would otherwise build)
+        bc_mapping = mapping.count() <= BROADCAST_MAPPING_MAX_ROWS
     sha = F.sha2(F.col("content"), 256)
     reps = files.select(sha.alias("content_sha"), "content").dropDuplicates(
         ["content_sha"]
@@ -635,7 +652,9 @@ def triples_dedup(
         cache=cache,
         gazetteer=gazetteer,
     )
-    part_of, has_text, occurs, mentions = expand_skeletons(skel, mapping)
+    part_of, has_text, occurs, mentions = expand_skeletons(
+        skel, mapping, broadcast_mapping=bc_mapping
+    )
     return (
         part_of.unionByName(has_text)
         .unionByName(occurs)
@@ -744,13 +763,34 @@ def content_skeletons(
     }
 
 
+# Broadcast the (content_sha, document_id) mapping into the three
+# expansion joins when it has at most this many rows (~110 B/row, so
+# the default is a ~50 MB broadcast - well inside executor budgets).
+# Below the cap the skeleton side is joined with ZERO exchanges; above
+# it the planner's shuffled join takes over (the 100 TB regime, where
+# one row per file cannot broadcast).  Parameterised for clusters via
+# env; counting the mapping is cheap for callers that persist it.
+BROADCAST_MAPPING_MAX_ROWS = int(
+    __import__("os").environ.get("SPARK_GRAFT_BC_MAPPING_ROWS", "500000")
+)
+
+
 def expand_skeletons(
-    skel: dict[str, DataFrame], mapping: DataFrame
+    skel: dict[str, DataFrame],
+    mapping: DataFrame,
+    broadcast_mapping: bool | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Re-bind per-content skeletons to files: one linear hash join per
     doc-dependent branch on content_sha (uniform keys - sha256 cannot
     skew), recomputing the real uuid5 ids after the join.  Returns
-    (part_of, has_text, occurs, mentions) edge frames."""
+    (part_of, has_text, occurs, mentions) edge frames.
+
+    ``broadcast_mapping=True`` hints the mapping side into a broadcast
+    hash join (the skeletons are then never shuffled); callers that
+    know the file count decide (see BROADCAST_MAPPING_MAX_ROWS).
+    ``None`` leaves the strategy to the planner."""
+    if broadcast_mapping:
+        mapping = F.broadcast(mapping)
     sid = uuid5_col(F.lit("sentence"), "text", "document_id", "lang")
 
     exp_sents = skel["sentences"].join(mapping, "content_sha")
