@@ -164,39 +164,29 @@ def langid_struct_col(cleaned: Column) -> Column:
     order = list(S.LANGID_ORDER)
     und = F.lit(S.UND_LANG)
 
-    def decide(hits_arr: Column, tri_arr: Column) -> Column:
-        def isum(arr: Column) -> Column:
-            return F.aggregate(arr, F.lit(0), lambda a, x: a + x)
+    def isum(arr: Column) -> Column:
+        return F.aggregate(arr, F.lit(0), lambda a, x: a + x)
 
-        hit = {lg: F.element_at(hits_arr, i + 1) for i, lg in enumerate(order)}
-        tri = {lg: F.element_at(tri_arr, i + 1) for i, lg in enumerate(order)}
-        mx = F.array_max(hits_arr)
-        total = isum(hits_arr)
-        tri_mx = F.array_max(tri_arr)
-        tri_total = isum(tri_arr)
+    def argmax_struct(arr_bound: Column) -> Column:
+        """struct<lang,score> by argmax over a BOUND count array (lambda
+        variable - O(1) references), LANGID_ORDER tie-break; caller
+        guards arr's total > 0 except for the trigram fallback, which
+        re-checks it (no hits at all -> und/0.0)."""
+        cnt = {
+            lg: F.element_at(arr_bound, i + 1)
+            for i, lg in enumerate(order)
+        }
+        mx = F.array_max(arr_bound)
+        total = isum(arr_bound)
         detected = F.when(F.lit(False), und)
         for lg in order:
             detected = detected.when(
-                (total > 0) & (hit[lg] == mx), F.lit(lg)
+                (total > 0) & (cnt[lg] == mx), F.lit(lg)
             )
-        for lg in order:
-            detected = detected.when(
-                (total <= 0) & (tri_total > 0) & (tri[lg] == tri_mx),
-                F.lit(lg),
-            )
-        score = (
-            F.when(
-                total > 0,
-                round_score_col(mx.cast("double") / total.cast("double")),
-            )
-            .when(
-                tri_total > 0,
-                round_score_col(
-                    tri_mx.cast("double") / tri_total.cast("double")
-                ),
-            )
-            .otherwise(F.lit(0.0))
-        )
+        score = F.when(
+            total > 0,
+            round_score_col(mx.cast("double") / total.cast("double")),
+        ).otherwise(F.lit(0.0))
         return F.struct(
             detected.otherwise(und).alias("lang"), score.alias("score")
         )
@@ -225,17 +215,35 @@ def langid_struct_col(cleaned: Column) -> Column:
                     for lg in order
                 ]
             )
-            tri_arr = F.array(
-                *[
-                    sum(
-                        [tri_count(t) for t in S.LANGID_TRIGRAMS[lg][1:]],
-                        start=tri_count(S.LANGID_TRIGRAMS[lg][0]),
-                    )
-                    for lg in order
-                ]
-            )
+
+            def with_hits(h: Column) -> Column:
+                # the ~20 per-language replace() trigram scans live in
+                # the OTHERWISE branch of a CASE, which Spark evaluates
+                # lazily per row: rows with any stop-word hit (the vast
+                # majority) never pay for the fallback (the old
+                # zip_with(hits, tris, decide) construction built the
+                # trigram array eagerly for every row)
+                tri_arr = F.array(
+                    *[
+                        sum(
+                            [
+                                tri_count(t)
+                                for t in S.LANGID_TRIGRAMS[lg][1:]
+                            ],
+                            start=tri_count(S.LANGID_TRIGRAMS[lg][0]),
+                        )
+                        for lg in order
+                    ]
+                )
+                tri_struct = F.element_at(
+                    F.transform(F.array(tri_arr), argmax_struct), 1
+                )
+                return F.when(
+                    isum(h) > 0, argmax_struct(h)
+                ).otherwise(tri_struct)
+
             return F.element_at(
-                F.zip_with(F.array(hits_arr), F.array(tri_arr), decide), 1
+                F.transform(F.array(hits_arr), with_hits), 1
             )
 
         return F.element_at(

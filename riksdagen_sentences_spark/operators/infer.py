@@ -78,6 +78,18 @@ def transitive_closure(
     Scale: the closure of a dense graph is O(n²) rows — materializing
     it is the caller's decision; for hub-heavy graphs prefer on-demand
     bfs_depths from the nodes you actually query."""
+    def _release_checkpoint(df: DataFrame) -> None:
+        # localCheckpoint blocks hang off the LogicalRDD leaf, not the
+        # cache manager (same note as cache.release_intermediates);
+        # superseded round frames are dead the moment the next round's
+        # eager checkpoint materializes
+        try:
+            plan = df._jdf.queryExecution().analyzed()
+            if plan.getClass().getSimpleName() == "LogicalRDD":
+                plan.rdd().unpersist(False)
+        except Exception:
+            pass
+
     cur = (
         edges.select("subj", "obj")
         .filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())
@@ -85,6 +97,7 @@ def transitive_closure(
         .localCheckpoint(eager=True)
     )
     n_cur = cur.count()
+    converged = False
     for _ in range(max_rounds):
         x = cur.select(
             F.col("subj").alias("__a"), F.col("obj").alias("__m")
@@ -101,10 +114,23 @@ def transitive_closure(
             .localCheckpoint(eager=True)
         )
         n_nxt = nxt.count()
+        _release_checkpoint(cur)
         cur = nxt
         if n_nxt == n_cur:
+            converged = True
             break
         n_cur = n_nxt
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"transitive_closure: fixpoint NOT reached within "
+            f"{max_rounds} doubling rounds (paths up to length "
+            f"2^{max_rounds} covered); cycle_nodes/scc_components built "
+            "on this closure may be incomplete - raise max_rounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return cur
 
 

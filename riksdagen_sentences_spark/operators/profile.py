@@ -67,7 +67,12 @@ def key_skew(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
     ratio is a single IEEE division of exact integers, identical across
     engines; ties at the top-N boundary have equal counts, so the top-N
     SUM is order-invariant."""
-    counts = df.groupBy(key).agg(F.count("*").alias("c")).persist()
+    from .cache import track
+
+    # track() so release_intermediates() can free the per-key count
+    # blocks after long bench/parity sweeps (same discipline as the
+    # other persisting operators)
+    counts = track(df.groupBy(key).agg(F.count("*").alias("c")).persist())
     totals = counts.agg(
         F.sum("c").cast("bigint").alias("n_rows"),
         F.count("*").cast("bigint").alias("n_keys"),

@@ -92,10 +92,15 @@ def to_ntriples(
     ).otherwise(
         F.concat(F.lit(f"<{base_iri}resource/"), F.col(obj), F.lit(">"))
     )
+    # F.concat, NOT concat_ws: concat_ws silently DROPS a NULL term and
+    # emits a malformed 3-token line; concat propagates NULL - exactly
+    # what the DuckDB twin's '||' chain does, so both engines agree on
+    # arbitrary stored-triples input (current edge builders never emit
+    # NULL terms, so serialized output is unchanged)
     return triples.select(
-        F.concat_ws(" ", s_iri, p_iri, o_term, F.lit(".")).alias(
-            "ntriple"
-        )
+        F.concat(
+            s_iri, F.lit(" "), p_iri, F.lit(" "), o_term, F.lit(" .")
+        ).alias("ntriple")
     )
 
 

@@ -88,6 +88,18 @@ class IvfIndex:
         self.id_col = id_col
 
 
+# Row floor for the coarse-quantizer fit: corpora at or below it fit on
+# every vector (bit-identical to the historical full fit - all driver
+# SFs sit under the floor); larger corpora fit on a deterministic
+# ``fit_sample_rows``-sized sample, which is standard IVF practice - at
+# 100 TB the KMeans fit must be sublinear in corpus size, and a bounded
+# sample bounds both the fit cost and the per-iteration driver traffic.
+# The full corpus is still ASSIGNED under the fitted quantizer.
+IVF_FIT_SAMPLE_ROWS = int(
+    __import__("os").environ.get("SPARK_GRAFT_IVF_FIT_ROWS", "100000")
+)
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     index_dir: str,
@@ -95,20 +107,33 @@ def build_ivf_index(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    fit_sample_rows: int | None = None,
 ) -> IvfIndex:
     """Fit the KMeans coarse quantizer ONCE and write the corpus
     partitioned by cell (the partition column is what lets every later
     query prune its read to n_probe cells).  MLlib KMeans with a fixed
-    seed is deterministic within one Spark version."""
+    seed is deterministic within one Spark version.  Corpora larger
+    than ``fit_sample_rows`` (default IVF_FIT_SAMPLE_ROWS) fit the
+    quantizer on a seeded sample of ~that many rows; assignment always
+    covers the full corpus."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    floor = (
+        IVF_FIT_SAMPLE_ROWS if fit_sample_rows is None else fit_sample_rows
+    )
     with_vec = embeddings.withColumn(
         "__features", array_to_vector(_to_double(F.col(vec_col)))
     )
+    n = embeddings.count()
+    fit_input = (
+        with_vec
+        if n <= floor
+        else with_vec.sample(fraction=floor / n, seed=seed)
+    )
     model = KMeans(
         k=n_cells, seed=seed, featuresCol="__features", predictionCol="cell"
-    ).fit(with_vec)
+    ).fit(fit_input)
     assigned = model.transform(with_vec).drop("__features")
     assigned.write.mode("overwrite").partitionBy("cell").parquet(index_dir)
     centers = [[float(x) for x in c] for c in model.clusterCenters()]

@@ -388,14 +388,13 @@ def assemble_graph(
     # one footer-cheap count over the at-rest ledger picks the
     # expansion-join strategy (broadcast below the row cap - see
     # pipeline.BROADCAST_MAPPING_MAX_ROWS - planner default above)
-    part_of, has_text, occurs, mentions = P.expand_skeletons(
+    sent_edges, occurs, mentions = P.expand_skeletons(
         skel,
         mapping,
         broadcast_mapping=mapping.count() <= P.BROADCAST_MAPPING_MAX_ROWS,
     )
     return (
-        part_of.unionByName(has_text)
-        .unionByName(occurs)
+        sent_edges.unionByName(occurs)
         .unionByName(skel["content_edges"].dropDuplicates(["subj", "pred", "obj"]))
         .unionByName(mentions)
     )

@@ -223,27 +223,52 @@ def materialize_serving_tables(
     prefix: str = "",
 ) -> None:
     """Build the at-rest serving layout from the pipeline (run once per
-    corpus version; every later /lookup reads only these tables)."""
+    corpus version; every later /lookup reads only these tables).
+
+    The three table builds are independent jobs over the one persisted
+    sentence base: the base is materialized eagerly FIRST (persist does
+    not de-duplicate in-flight computation, so concurrent writes racing
+    a cold cache would each run the kernel chain), then the writes run
+    from a small thread pool so one write's task tail back-fills with
+    the next write's tasks (guide-standard overlap of independent
+    jobs)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     base = P.sentence_base(docs).persist()
+    base.count()
     sents = P.sentences(base).select(
         "sentence_id", "document_id", "text", "cleaned", "lang",
         "score", "word_count", "sent_idx",
     )
-    catalog.write_bucketed(
-        prefix + SERVE_SENTENCES, sents,
-        bucket_by=["sentence_id"], n_buckets=n_buckets,
-        sort_by=["sentence_id"], partition_by=["lang"],
-    )
     toks = P.token_base(base)
-    catalog.write_bucketed(
-        prefix + SERVE_RAWTOKENS, P.rawtokens(toks),
-        bucket_by=["rawtoken_id"], n_buckets=n_buckets,
+    jobs = (
+        (
+            prefix + SERVE_SENTENCES,
+            sents,
+            dict(
+                bucket_by=["sentence_id"], n_buckets=n_buckets,
+                sort_by=["sentence_id"], partition_by=["lang"],
+            ),
+        ),
+        (
+            prefix + SERVE_RAWTOKENS,
+            P.rawtokens(toks),
+            dict(bucket_by=["rawtoken_id"], n_buckets=n_buckets),
+        ),
+        (
+            prefix + SERVE_OCCURSIN,
+            P.occurs_in_edges(toks).select("subj", "obj"),
+            dict(bucket_by=["obj"], n_buckets=n_buckets, sort_by=["obj"]),
+        ),
     )
-    catalog.write_bucketed(
-        prefix + SERVE_OCCURSIN,
-        P.occurs_in_edges(toks).select("subj", "obj"),
-        bucket_by=["obj"], n_buckets=n_buckets, sort_by=["obj"],
-    )
+
+    def _write(job) -> None:
+        name, df, kw = job
+        spark.sparkContext.setJobDescription(f"serve write {name}")
+        catalog.write_bucketed(name, df, **kw)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(_write, jobs))
     base.unpersist()
 
 

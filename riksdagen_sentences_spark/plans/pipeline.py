@@ -652,12 +652,11 @@ def triples_dedup(
         cache=cache,
         gazetteer=gazetteer,
     )
-    part_of, has_text, occurs, mentions = expand_skeletons(
+    sent_edges, occurs, mentions = expand_skeletons(
         skel, mapping, broadcast_mapping=bc_mapping
     )
     return (
-        part_of.unionByName(has_text)
-        .unionByName(occurs)
+        sent_edges.unionByName(occurs)
         .unionByName(skel["content_edges"])
         .unionByName(mentions)
     )
@@ -779,11 +778,16 @@ def expand_skeletons(
     skel: dict[str, DataFrame],
     mapping: DataFrame,
     broadcast_mapping: bool | None = None,
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Re-bind per-content skeletons to files: one linear hash join per
     doc-dependent branch on content_sha (uniform keys - sha256 cannot
     skew), recomputing the real uuid5 ids after the join.  Returns
-    (part_of, has_text, occurs, mentions) edge frames.
+    (sent_edges, occurs, mentions) edge frames, where ``sent_edges``
+    carries BOTH partOf and hasText: the two edge kinds share the
+    expanded-sentence row and its (sha256-priced) sentence id, so one
+    join pass + one id computation + an explode of the two (pred, obj)
+    payloads emits both - half the join/hash work of two branches,
+    identical row set.
 
     ``broadcast_mapping=True`` hints the mapping side into a broadcast
     hash join (the skeletons are then never shuffled); callers that
@@ -793,16 +797,25 @@ def expand_skeletons(
         mapping = F.broadcast(mapping)
     sid = uuid5_col(F.lit("sentence"), "text", "document_id", "lang")
 
-    exp_sents = skel["sentences"].join(mapping, "content_sha")
-    part_of = exp_sents.select(
-        sid.alias("subj"),
-        F.lit(S.PRED_PART_OF).alias("pred"),
-        F.col("document_id").alias("obj"),
-    )
-    has_text = exp_sents.select(
-        sid.alias("subj"),
-        F.lit(S.PRED_HAS_TEXT).alias("pred"),
-        F.col("cleaned").alias("obj"),
+    sent_edges = (
+        skel["sentences"]
+        .join(mapping, "content_sha")
+        .select(
+            sid.alias("subj"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(S.PRED_PART_OF).alias("pred"),
+                        F.col("document_id").alias("obj"),
+                    ),
+                    F.struct(
+                        F.lit(S.PRED_HAS_TEXT).alias("pred"),
+                        F.col("cleaned").alias("obj"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("subj", "e.pred", "e.obj")
     )
     occurs = skel["occurs"].join(mapping, "content_sha").select(
         F.col("rt").alias("subj"),
@@ -814,7 +827,7 @@ def expand_skeletons(
         F.lit(S.PRED_MENTIONS).alias("pred"),
         uuid5_col(F.lit("entity"), "label", "ner_label").alias("obj"),
     )
-    return part_of, has_text, occurs, mentions
+    return sent_edges, occurs, mentions
 
 
 def mention_contexts(

@@ -48,6 +48,23 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Joins (guide-standard cluster settings, not local-mode tuning):
+        # let the planner pick shuffled-hash over sort-merge when a side
+        # fits its per-partition build budget (skips two sorts), and let
+        # AQE flip a sort-merge to broadcast/shuffled-hash at runtime
+        # from MEASURED sizes - estimates after filters/aggregates are
+        # routinely wrong, runtime sizes are not.  64m broadcast is well
+        # inside any executor budget; both knobs are env-overridable for
+        # clusters with tighter memory.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_AQE_BC", "64m"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "64m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -139,8 +139,10 @@ def test_symbol_definitions_extracts_defs(spark):
     rows = defs.collect()
     # one def per file, symbol f<path_id>
     assert len(rows) == 6 * 30
-    assert all(r.symbol == r.path.split("/f")[1].split(".")[0] is not None
-               or r.symbol.startswith("f") for r in rows)
+    assert all(
+        r.symbol == "f" + r.path.split("/f")[1].split(".")[0]
+        for r in rows
+    )
     sym = {(r.repo, r.path): r.symbol for r in rows}
     assert sym[("repo_0", "src/f3.js")] == "f3"
 
