@@ -80,10 +80,14 @@ def dup_ngram_ratio_agg(
     0.0 via the caller's left join + coalesce."""
     from pyspark.sql.window import Window
 
+    from .cache import spread_input
     from .neardup import normalized_text_col
 
+    # spread a few-split source: the normalize+explode map side runs on
+    # the input partitioning until the window's doc_id shuffle
     w = (
-        docs.select(
+        spread_input(docs.select("doc_id", F.col(text_col)), "doc_id")
+        .select(
             "doc_id",
             F.posexplode(
                 F.split(normalized_text_col(F.col(text_col)), " ")
@@ -141,7 +145,13 @@ def contaminated_doc_ids(
     (GPT-3-style n-gram decontamination).  The benchmark's distinct
     shingle set is broadcast; the corpus explodes once and semi-joins -
     linear, never shuffled on the corpus side."""
-    doc_sh = docs.select(
+    from .cache import spread_input
+
+    # the per-doc gram explode (interpreted HOFs over the full text)
+    # runs pre-shuffle: spread a few-split corpus first
+    doc_sh = spread_input(
+        docs.select("doc_id", F.col(text_col)), "doc_id"
+    ).select(
         "doc_id",
         F.explode(F.array_distinct(_grams_col(F.col(text_col), k))).alias(
             "shingle"

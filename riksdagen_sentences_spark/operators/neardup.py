@@ -73,8 +73,13 @@ def _doc_shingles_fast(docs: DataFrame, text_col: str) -> DataFrame:
     the linear, skew-free shape at scale."""
     from pyspark.sql.window import Window
 
+    # the normalize+split+explode map side runs on the INPUT
+    # partitioning (everything before the window's doc_id shuffle):
+    # spread a few-split source first (no-op at production split
+    # counts - see cache.spread_input)
     w = (
-        docs.select(
+        _spread_input(docs.select("doc_id", F.col(text_col)), "doc_id")
+        .select(
             "doc_id",
             F.posexplode(
                 F.split(normalized_text_col(F.col(text_col)), " ")

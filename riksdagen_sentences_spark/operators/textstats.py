@@ -96,11 +96,14 @@ def fingerprint_col(text: Column) -> Column:
 def doc_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document stats frame: token counts, ratios, quality,
     fingerprint, detected language."""
+    from .cache import spread_input
+
     text = F.col(text_col)
-    # inline(array(struct)) = Generate barrier: the langid tree
-    # evaluates once per row instead of once per referenced field
-    # (same trick as pipeline.sentence_base)
-    with_ls = docs.select(
+    # spread a few-split source (per-row stat expressions are
+    # pre-shuffle work); inline(array(struct)) = Generate barrier: the
+    # langid tree evaluates once per row instead of once per
+    # referenced field (same trick as pipeline.sentence_base)
+    with_ls = spread_input(docs, "doc_id").select(
         F.col("doc_id"),
         ws_token_count_col(text).alias("ws_tokens"),
         bpe_token_count_col(text).alias("bpe_tokens"),

@@ -62,6 +62,14 @@ def curation_stages(
     # shape (dup_ngram_ratio_agg - ~10x the per-row array formulation);
     # an AGGREGATE result is an optimizer barrier, so joining it back
     # cannot re-inline anything.
+    from ..operators.cache import spread_input
+
+    # spread a few-split source ONCE at chain entry: the enrichment
+    # projection (quality/fingerprint/bpe-token expressions over full
+    # document text) is pre-shuffle, per-row work and would otherwise
+    # run on the input partitioning - one task for a one-split corpus
+    # (no-op at production split counts)
+    docs = spread_input(docs, "doc_id")
     text = F.col("text")
     rep = CU.dup_ngram_ratio_agg(docs)
     enriched = docs.select(

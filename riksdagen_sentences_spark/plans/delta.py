@@ -117,19 +117,27 @@ def _read_or_empty(
     ).drop("batch")
 
 
-def _batch_id(mapping: DataFrame) -> str:
+def _batch_id_n(mapping: DataFrame) -> tuple[str, int]:
     """Deterministic, order-independent id of a batch's SUBMITTED file
     set: the wrapped sum of xxhash64(document_id) plus the count.  A
     re-submitted batch (same files) maps to the same partition
     directory and overwrites its own prior - possibly partial - output;
-    a crashed batch must therefore be retried with the same file set."""
+    a crashed batch must therefore be retried with the same file set.
+    Returns (batch_id, n_files) - the count rides the same one-job
+    aggregate, so callers never pay a second count over the mapping."""
     row = mapping.agg(
         # decimal(38,0) sum: exact for any batch size and immune to the
         # ANSI-mode long-overflow error a raw BIGINT sum would raise
         F.sum(F.xxhash64("document_id").cast("decimal(38,0)")).alias("h"),
         F.count("*").alias("n"),
     ).first()
-    return f"{int(row['h'] or 0) % (1 << 64):016x}-{row['n']}"
+    n = int(row["n"])
+    return f"{int(row['h'] or 0) % (1 << 64):016x}-{n}", n
+
+
+def _batch_id(mapping: DataFrame) -> str:
+    """Batch id alone (see :func:`_batch_id_n`)."""
+    return _batch_id_n(mapping)[0]
 
 
 def _write_batch(df: DataFrame, store_dir: str, name: str, batch: str) -> None:
@@ -234,25 +242,34 @@ def update_graph(
     mapping = P.files_mapping(new_files).persist()
     # the batch id hashes the SUBMITTED set, so a retried batch lands
     # on the same directories no matter how far its first attempt got
-    batch = _batch_id(mapping)
+    batch, n_files = _batch_id_n(mapping)
     committed = _committed_batches(spark, store_dir)
     gaz_sha = gazetteer_fingerprint(gazetteer)
     _check_gazetteer(spark, store_dir, committed, gaz_sha)
     if batch in committed:
-        n = mapping.count()
         mapping.unpersist()
         return {
-            "files_submitted": n,
+            "files_submitted": n_files,
             "files_new": 0,
-            "files_skipped": n,
+            "files_skipped": n_files,
             "contents_fresh": 0,
             "contents_reused": 0,
             "batch_id": batch,
         }
-    known_files = _read_or_empty(spark, store_dir, "files_ledger", committed)
-    fresh_files = mapping.join(
-        known_files.select("document_id"), "document_id", "left_anti"
-    ).persist()
+    if committed:
+        known_files = _read_or_empty(
+            spark, store_dir, "files_ledger", committed
+        )
+        fresh_files = mapping.join(
+            known_files.select("document_id"), "document_id", "left_anti"
+        ).persist()
+        n_fresh_files = fresh_files.count()
+    else:
+        # empty store: the anti-join is the identity - reuse the
+        # persisted mapping instead of building a second cache of the
+        # same rows (and skip its count; _batch_id already counted)
+        fresh_files = mapping
+        n_fresh_files = n_files
 
     known_contents = _read_or_empty(
         spark, store_dir, "contents_ledger", committed
@@ -263,9 +280,6 @@ def update_graph(
         .join(known_contents, "content_sha", "left_anti")
         .persist()
     )
-
-    n_files = mapping.count()
-    n_fresh_files = fresh_files.count()
     n_fresh_contents = fresh_shas.count()
 
     if n_fresh_files == 0:
