@@ -14,21 +14,46 @@ from pyspark.sql import functions as F
 from .. import semantics as S
 
 
+def _literal_dim(
+    spark: SparkSession, rows: list[tuple], names: list[str]
+) -> DataFrame:
+    """Tiny all-string dim as a pure-JVM literal frame
+    (range(1) + inline of literal structs).  createDataFrame would
+    build a Python-RDD-backed plan whose broadcast build pays a
+    Python-runner stage on EVERY consuming query (the lexeme dict sits
+    on the broadcast path of every triples build)."""
+    return spark.range(1).select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        *[
+                            F.lit(v).cast("string").alias(n)
+                            for v, n in zip(row, names)
+                        ]
+                    )
+                    for row in rows
+                ]
+            )
+        )
+    )
+
+
 def languages(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        list(S.LANGUAGES), "iso_code string, name_en string, qid string"
+    return _literal_dim(
+        spark, list(S.LANGUAGES), ["iso_code", "name_en", "qid"]
     )
 
 
 def lexical_categories(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        list(S.LEXICAL_CATEGORIES.items()), "postag string, qid string"
+    return _literal_dim(
+        spark, list(S.LEXICAL_CATEGORIES.items()), ["postag", "qid"]
     )
 
 
 def ner_labels(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        list(S.NER_LABELS.items()), "label string, description string"
+    return _literal_dim(
+        spark, list(S.NER_LABELS.items()), ["label", "description"]
     )
 
 
@@ -36,9 +61,10 @@ def lexeme_dictionary(spark: SparkSession) -> DataFrame:
     """Synthetic Wikidata-lexeme dictionary; the reference only has the
     schema (models/crud/create.py:149-155) - the write path is
     unimplemented (models/crud/insert.py:183-196)."""
-    return spark.createDataFrame(
+    return _literal_dim(
+        spark,
         list(S.LEXEME_DICTIONARY),
-        "lexeme_id string, form string, lang string, category_qid string",
+        ["lexeme_id", "form", "lang", "category_qid"],
     )
 
 
@@ -79,9 +105,7 @@ def synthetic_lexeme_dictionary(
 def gazetteer(spark: SparkSession) -> DataFrame:
     """The demo NER gazetteer (semantics.GAZETTEER) as a broadcast dim:
     (term, ner_label), term lowercase."""
-    return spark.createDataFrame(
-        list(S.GAZETTEER), "term string, ner_label string"
-    )
+    return _literal_dim(spark, list(S.GAZETTEER), ["term", "ner_label"])
 
 
 def synthetic_gazetteer(
