@@ -466,6 +466,25 @@ def mention_edges(
     )
 
 
+def _rid_col(token_base_df: DataFrame):
+    """Rawtoken id: the precomputed ``__rid`` column when the caller
+    persisted it (triples() caches the token cut-point with both ids
+    materialized and the 300-byte sentence text DROPPED - narrower
+    cache blocks, ids hashed once instead of once per edge branch),
+    else computed from the raw columns.  Same expression either way -
+    values identical."""
+    if "__rid" in token_base_df.columns:
+        return F.col("__rid")
+    return uuid5_col(F.lit("rawtoken"), "raw", "pos", "lang")
+
+
+def _sid_col(token_base_df: DataFrame):
+    """Sentence id for a token row (see :func:`_rid_col`)."""
+    if "__sid" in token_base_df.columns:
+        return F.col("__sid")
+    return uuid5_col(F.lit("sentence"), "text", "document_id", "lang")
+
+
 def occurs_in_edges(token_base_df: DataFrame) -> DataFrame:
     """(rawtoken, occursIn, sentence) for accepted tokens of accepted
     sentences (reference insert.py:151-160 link_sentence_to_rawtokens)."""
@@ -473,11 +492,9 @@ def occurs_in_edges(token_base_df: DataFrame) -> DataFrame:
         F.col("tok_accepted") & F.col("sent_accepted")
     )
     edges = acc.select(
-        uuid5_col(F.lit("rawtoken"), "raw", "pos", "lang").alias("subj"),
+        _rid_col(token_base_df).alias("subj"),
         F.lit(S.PRED_OCCURS_IN).alias("pred"),
-        uuid5_col(F.lit("sentence"), "text", "document_id", "lang").alias(
-            "obj"
-        ),
+        _sid_col(token_base_df).alias("obj"),
     )
     return edges.dropDuplicates(["subj", "pred", "obj"])
 
@@ -487,7 +504,7 @@ def normalizes_to_edges(token_base_df: DataFrame) -> DataFrame:
     (reference insert.py:173-181 link_normtoken_to_rawtoken)."""
     acc = token_base_df.filter(F.col("tok_accepted"))
     edges = acc.select(
-        uuid5_col(F.lit("rawtoken"), "raw", "pos", "lang").alias("subj"),
+        _rid_col(token_base_df).alias("subj"),
         F.lit(S.PRED_NORMALIZES_TO).alias("pred"),
         uuid5_col(F.lit("normtoken"), "norm").alias("obj"),
     )
@@ -516,10 +533,15 @@ def links_to_edges(
         (acc["norm"] == lex["form"]) & (acc["lang"] == lex["lang"]),
         "inner",
     )
+    subj = (
+        acc["__rid"]
+        if "__rid" in token_base_df.columns
+        else uuid5_col(
+            F.lit("rawtoken"), acc["raw"], acc["pos"], acc["lang"]
+        )
+    )
     edges = joined.select(
-        uuid5_col(F.lit("rawtoken"), acc["raw"], acc["pos"], acc["lang"]).alias(
-            "subj"
-        ),
+        subj.alias("subj"),
         F.lit(S.PRED_LINKS_TO).alias("pred"),
         lex["lexeme_id"].alias("obj"),
     )
@@ -568,16 +590,44 @@ def triples(
     """
     base = sentence_base(docs, use_udf_langid=use_udf_langid)
     if cache:
-        base = base.persist()
+        # persist WITHOUT the 'cleaned' copy of the sentence: no branch
+        # below reads it from base (sentences() drops-and-recomputes it
+        # after its dedup; token_base never references it), so caching
+        # it would only widen every cache block by a second copy of the
+        # sentence bytes.  drop() is tolerant, sentences() recomputes.
+        base = base.drop("cleaned").persist()
     sents = sentences(base)
     if cache:
         sents = sents.persist()
     toks = token_base(base)
     if cache:
-        # the token-level expression chain (POS CASE + cleaning regexes
-        # over ~10 tokens/sentence) is consumed by rawtokens, occursIn,
-        # normalizesTo and linksTo - persist so it evaluates once
-        toks = toks.persist()
+        # the token-level expression chain (POS CASE + cleaning over
+        # ~10 tokens/sentence) is consumed by rawtokens, occursIn,
+        # normalizesTo and linksTo - persist so it evaluates once.
+        # Project the cache to what those consumers actually read: the
+        # two edge ids are materialized ONCE (instead of once per
+        # branch) and the ~300-byte sentence text - needed only inside
+        # the sentence id - is dropped, so all four cache re-reads
+        # decode far narrower blocks (guide §2.3 narrower types /
+        # project-before-the-exchange, applied to the cache).
+        toks = toks.select(
+            "document_id",
+            "sent_idx",
+            "lang",
+            "score",
+            "word_count",
+            "tok_idx",
+            "raw",
+            "cleaned_tok",
+            "norm",
+            "pos",
+            "tok_accepted",
+            "sent_accepted",
+            uuid5_col(F.lit("sentence"), "text", "document_id", "lang")
+            .alias("__sid"),
+            uuid5_col(F.lit("rawtoken"), "raw", "pos", "lang")
+            .alias("__rid"),
+        ).persist()
     return (
         part_of_edges(sents)
         .unionByName(has_text_edges(sents))
@@ -706,13 +756,23 @@ def content_skeletons(
     )
     base = sentence_base(docs, use_udf_langid=use_udf_langid)
     if cache:
-        base = base.persist()
+        # no skeleton branch reads base.cleaned (sents recomputes it
+        # post-dedup) - drop it from the cache, as in triples()
+        base = base.drop("cleaned").persist()
     sents = sentences(base)
     if cache:
         sents = sents.persist()
     toks = token_base(base)
     if cache:
-        toks = toks.persist()
+        # materialize the rawtoken id once for its three consumers
+        # (occurs skeleton, normalizesTo, linksTo); text must STAY in
+        # this cache - it is the occurs/mentions expansion key
+        toks = toks.select(
+            "*",
+            uuid5_col(F.lit("rawtoken"), "raw", "pos", "lang").alias(
+                "__rid"
+            ),
+        ).persist()
     if cache and tracked is not None:
         # hand the persisted intermediates back so a caller that fully
         # consumes the skeletons (e.g. delta.update_graph's writes) can
@@ -728,7 +788,7 @@ def content_skeletons(
     occ_skel = (
         toks.filter(F.col("tok_accepted") & F.col("sent_accepted"))
         .select(
-            uuid5_col(F.lit("rawtoken"), "raw", "pos", "lang").alias("rt"),
+            _rid_col(toks).alias("rt"),
             F.col("document_id").alias("content_sha"),
             "text",
             "lang",
