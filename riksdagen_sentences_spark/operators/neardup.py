@@ -281,9 +281,12 @@ def lsh_verified_pairs(
     verification baseline.  Output rows are a subset of
     :func:`lsh_candidate_pairs` by construction."""
     sh = track(_doc_shingles_fast(docs, text_col).persist())
-    sh.count()  # eager: shingles feed signatures AND both verify joins
     sig = _signatures_from_shingles(sh, n_perm)
     all_bands = track(_band_table(sig, n_perm, bands).persist())
+    # ONE eager materialization: computing the band table fills the
+    # shingle cache on the way (jobs here are sequential - no race),
+    # so a separate sh.count() barrier would only add a job; the verify
+    # joins and size aggregate below then read both caches
     all_bands.count()
     cand = _pairs_from_bands(all_bands)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))

@@ -234,13 +234,32 @@ def materialize_serving_tables(
     jobs)."""
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark.sql import functions as F2
+
+    from ..ids import uuid5_col
+
     base = P.sentence_base(docs).persist()
     base.count()
     sents = P.sentences(base).select(
         "sentence_id", "document_id", "text", "cleaned", "lang",
         "score", "word_count", "sent_idx",
     )
-    toks = P.token_base(base)
+    # projected token cut-point, as in pipeline.triples(): the edge ids
+    # are materialized once and the sentence text (needed only inside
+    # the sentence id) never enters the cache; the rawtokens and
+    # occursIn builds below both consume it concurrently
+    toks = P.token_base(base).select(
+        "document_id", "sent_idx", "lang", "score", "word_count",
+        "tok_idx", "raw", "cleaned_tok", "norm", "pos",
+        "tok_accepted", "sent_accepted",
+        uuid5_col(
+            F2.lit("sentence"), "text", "document_id", "lang"
+        ).alias("__sid"),
+        uuid5_col(F2.lit("rawtoken"), "raw", "pos", "lang").alias(
+            "__rid"
+        ),
+    ).persist()
+    toks.count()
     jobs = (
         (
             prefix + SERVE_SENTENCES,
@@ -269,6 +288,7 @@ def materialize_serving_tables(
 
     with ThreadPoolExecutor(max_workers=3) as pool:
         list(pool.map(_write, jobs))
+    toks.unpersist()
     base.unpersist()
 
 
