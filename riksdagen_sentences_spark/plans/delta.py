@@ -315,12 +315,18 @@ def update_graph(
         skel = P.content_skeletons(
             spark, reps, gazetteer=gazetteer, tracked=tracked
         )
-        # materialize the shared cut-points (base, sents, toks) ONCE
-        # before the concurrent writes below: persist() does not
-        # de-duplicate in-flight computation, so two writes racing to
-        # the same cold cache would each run the kernel chain
-        for df in tracked:
-            df.count()
+        # materialize the shared cut-points ONCE before the concurrent
+        # writes below: persist() does not de-duplicate in-flight
+        # computation, so two writes racing to the same cold cache
+        # would each run the kernel chain.  tracked = (base, sents,
+        # toks): base first (everything reads it), then sents and toks
+        # concurrently (both derive from the now-warm base cache)
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        if tracked:
+            tracked[0].count()
+            with _TPE(max_workers=2) as cpool:
+                list(cpool.map(lambda d: d.count(), tracked[1:]))
         writes.extend((name, skel[name]) for name in SKEL_TABLES)
     writes.append(("contents_ledger", fresh_shas))
     writes.append(("files_ledger", fresh_files))
